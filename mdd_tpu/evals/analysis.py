@@ -1,0 +1,207 @@
+"""Hierarchical MDD analysis over three pairwise alignments.
+
+Replaces the reference's Kaldi align-text + wer_per_utt_details.pl +
+ins_del_sub_cor_analysis.py pipeline (result/mdd_result.sh:8-12,
+result/utils/scoring/ins_del_sub_cor_analysis.py:118-219) with a single
+in-process pass.  Inputs are per-utterance token sequences:
+
+  ref       canonical prompt phones
+  human     human-annotated actual phones
+  ours      decoder hypothesis phones
+
+and the analysis classifies every canonical/human slot of the
+ref<->human alignment by what the recognizer did with it in the
+human<->ours and ref<->ours alignments, yielding the cor_cor/sub_sub/...
+hierarchy and the derived Recall/Precision/F1, TA/FR/FA,
+Correct/Error-Diagnosis, FAR/FRR/DER metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence
+
+from mdd_tpu.align.levenshtein import kaldi_alignment, alignment_ops
+
+EPS = "<eps>"
+
+
+@dataclass
+class HierarchicalMdd:
+    # ref<->human op totals (pronunciation-error statistics)
+    insert: int = 0
+    delete: int = 0
+    sub: int = 0
+    cor: int = 0
+    # hierarchy: how the system treated each human-verified slot
+    cor_cor: int = 0
+    cor_nocor: int = 0
+    sub_sub: int = 0       # sub detected, correctly diagnosed
+    sub_sub1: int = 0      # sub detected, wrongly diagnosed
+    sub_nosub: int = 0     # sub missed (system output the canonical phone)
+    ins_ins: int = 0
+    ins_ins1: int = 0
+    ins_noins: int = 0
+    del_del: int = 0
+    del_del1: int = 0
+    del_nodel: int = 0
+
+    @property
+    def tp(self) -> int:
+        return (self.sub_sub + self.ins_ins + self.del_del
+                + self.sub_sub1 + self.ins_ins1 + self.del_del1)
+
+    @property
+    def fp(self) -> int:
+        return self.cor_nocor
+
+    @property
+    def fn(self) -> int:
+        return self.sub_nosub + self.ins_noins + self.del_nodel
+
+    @property
+    def recall(self) -> float:
+        return self.tp / (self.tp + self.fn) if self.tp + self.fn else 0.0
+
+    @property
+    def precision(self) -> float:
+        return self.tp / (self.tp + self.fp) if self.tp + self.fp else 0.0
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if p + r else 0.0
+
+    @property
+    def correct_diag(self) -> int:
+        return self.sub_sub + self.ins_ins + self.del_del
+
+    @property
+    def error_diag(self) -> int:
+        return self.sub_sub1 + self.ins_ins1 + self.del_del1
+
+    @property
+    def ta(self) -> float:
+        d = self.cor_cor + self.cor_nocor
+        return self.cor_cor / d if d else 0.0
+
+    @property
+    def frr(self) -> float:
+        d = self.cor_cor + self.cor_nocor
+        return self.cor_nocor / d if d else 0.0
+
+    @property
+    def far(self) -> float:
+        return 1.0 - self.recall
+
+    @property
+    def der(self) -> float:
+        d = self.correct_diag + self.error_diag
+        return self.error_diag / d if d else 0.0
+
+    def report(self) -> str:
+        lines = [
+            f"insert: {self.insert}",
+            f"delete: {self.delete}",
+            f"sub: {self.sub}",
+            f"cor: {self.cor}",
+            f"sum {self.delete + self.sub + self.cor}",
+            "Recall: %.4f" % self.recall,
+            "Precision: %.4f" % self.precision,
+            "f1:%.4f" % self.f1,
+            "TA: %.4f %d" % (self.ta, self.cor_cor),
+            "FR: %.4f %d" % (self.frr, self.cor_nocor),
+            "FA: %.4f %d" % (
+                self.fn / max(1, self.tp + self.fn), self.fn),
+            "Correct Diag: %.4f %d" % (
+                self.correct_diag / max(1, self.correct_diag + self.error_diag),
+                self.correct_diag),
+            "Error Diag: %.4f %d" % (self.der, self.error_diag),
+            "FAR: %.4f" % self.far,
+            "FRR: %.4f" % self.frr,
+            "DER: %.4f" % self.der,
+        ]
+        return "\n".join(lines)
+
+
+def hierarchical_mdd_analysis(
+    ref: Dict[str, Sequence[str]],
+    human: Dict[str, Sequence[str]],
+    ours: Dict[str, Sequence[str]],
+) -> HierarchicalMdd:
+    """Run the three-way alignment analysis over a corpus."""
+    m = HierarchicalMdd()
+    for utt in ref:
+        if utt not in human or utt not in ours:
+            continue
+        rh = kaldi_alignment(ref[utt], human[utt])
+        ho = kaldi_alignment(human[utt], ours[utt])
+        ro = kaldi_alignment(ref[utt], ours[utt])
+
+        rh_ref = [p[0] for p in rh]
+        rh_hum = [p[1] for p in rh]
+        rh_op = alignment_ops(rh)
+        ho_hum = [p[0] for p in ho]
+        ho_our = [p[1] for p in ho]
+        ho_op = alignment_ops(ho)
+        ro_ref = [p[0] for p in ro]
+        ro_op = alignment_ops(ro)
+
+        for op in rh_op:
+            if op == "I":
+                m.insert += 1
+            elif op == "D":
+                m.delete += 1
+            elif op == "S":
+                m.sub += 1
+            else:
+                m.cor += 1
+
+        # Deletion detection: walk canonical tokens of ref<->human against
+        # canonical tokens of ref<->ours (analysis script :134-154).
+        flag = 0
+        for i in range(len(rh_ref)):
+            if rh_ref[i] == EPS:
+                continue
+            while ro_ref[flag] == EPS:
+                flag += 1
+            if rh_ref[i] == ro_ref[flag]:
+                if rh_op[i] == "D" and ro_op[flag] == "D":
+                    m.del_del += 1
+                elif rh_op[i] == "D" and ro_op[flag] not in ("D", "C"):
+                    m.del_del1 += 1
+                elif rh_op[i] == "D" and ro_op[flag] == "C":
+                    m.del_nodel += 1
+                flag += 1
+
+        # Correct / substitution / insertion detection: walk human tokens of
+        # ref<->human against human tokens of human<->ours (:157-191).
+        # NOTE the reference's 'I' here is an insertion in the *human* stream
+        # relative to canonical, i.e. a phone the learner added.
+        flag = 0
+        for i in range(len(rh_hum)):
+            if rh_hum[i] == EPS:
+                continue
+            while ho_hum[flag] == EPS:
+                flag += 1
+            if rh_hum[i] == ho_hum[flag]:
+                if rh_op[i] == "C" and ho_op[flag] == "C":
+                    m.cor_cor += 1
+                elif rh_op[i] == "C" and ho_op[flag] != "C":
+                    m.cor_nocor += 1
+
+                if rh_op[i] == "S" and ho_op[flag] == "C":
+                    m.sub_sub += 1
+                elif rh_op[i] == "S" and ho_op[flag] != "C" and rh_ref[i] != ho_our[flag]:
+                    m.sub_sub1 += 1
+                elif rh_op[i] == "S" and ho_op[flag] != "C" and rh_ref[i] == ho_our[flag]:
+                    m.sub_nosub += 1
+
+                if rh_op[i] == "I" and ho_op[flag] == "C":
+                    m.ins_ins += 1
+                elif rh_op[i] == "I" and ho_op[flag] not in ("C", "D"):
+                    m.ins_ins1 += 1
+                elif rh_op[i] == "I" and ho_op[flag] == "D":
+                    m.ins_noins += 1
+                flag += 1
+    return m
