@@ -1,0 +1,224 @@
+"""Kaldi-compatible log-mel filterbank features, TPU-native.
+
+Replaces the reference's prebuilt `compute-fbank-feats` binary
+(egs/attention_aug/bin/linux, conf/fbank.conf: hamming window, 80 mel
+bins, energy dim) with a jit-able jnp implementation designed for the MXU:
+the 512-point real DFT is expressed as two (frames x 512) @ (512 x 256)
+matmuls against precomputed cos/sin bases, and the mel projection as a
+(frames x 256) @ (256 x 80) matmul, so the whole front-end is three fused
+GEMMs plus elementwise work — no FFT butterflies, no scalar loops.
+
+Algorithmic parity with Kaldi's FbankComputer (feat/feature-fbank.cc and
+feat/feature-window.cc defaults + conf/fbank.conf overrides):
+  frame 25 ms / shift 10 ms @ 16 kHz, snip-edges, optional dither,
+  per-frame DC removal, raw log-energy (pre-window), preemphasis 0.97,
+  hamming window, round-to-power-of-two padding, power spectrum over the
+  first 256 bins, mel triangles on the Kaldi mel scale (1127*ln(1+f/700),
+  low 20 Hz, high nyquist), log with float-epsilon floor, energy at
+  feature index 0 (use-energy, non-HTK layout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLT_EPS = float(np.finfo(np.float32).eps)
+
+
+@dataclasses.dataclass(frozen=True)
+class FbankConfig:
+    sample_rate: int = 16000
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    num_mel_bins: int = 80
+    use_energy: bool = True
+    raw_energy: bool = True
+    preemphasis: float = 0.97
+    remove_dc_offset: bool = True
+    window_type: str = "hamming"
+    dither: float = 0.0  # reference binaries default to 1.0; we default to
+    # deterministic features (train-time dither available via `key`)
+    low_freq: float = 20.0
+    high_freq: float = 0.0  # <=0 -> offset from nyquist
+    snip_edges: bool = True
+    use_log_fbank: bool = True
+    use_power: bool = True
+
+    @property
+    def frame_length(self) -> int:
+        return int(self.sample_rate * self.frame_length_ms / 1000.0)
+
+    @property
+    def frame_shift(self) -> int:
+        return int(self.sample_rate * self.frame_shift_ms / 1000.0)
+
+    @property
+    def padded_length(self) -> int:
+        n = 1
+        while n < self.frame_length:
+            n *= 2
+        return n
+
+    @property
+    def feat_dim(self) -> int:
+        return self.num_mel_bins + (1 if self.use_energy else 0)
+
+
+def _window_function(cfg: FbankConfig) -> np.ndarray:
+    n = cfg.frame_length
+    a = 2.0 * math.pi / (n - 1)
+    i = np.arange(n, dtype=np.float64)
+    if cfg.window_type == "hamming":
+        w = 0.54 - 0.46 * np.cos(a * i)
+    elif cfg.window_type == "hanning":
+        w = 0.5 - 0.5 * np.cos(a * i)
+    elif cfg.window_type == "povey":
+        w = (0.5 - 0.5 * np.cos(a * i)) ** 0.85
+    elif cfg.window_type == "rectangular":
+        w = np.ones(n)
+    else:
+        raise ValueError(f"unknown window type {cfg.window_type}")
+    return w.astype(np.float32)
+
+
+def _mel_scale(freq):
+    return 1127.0 * np.log(1.0 + freq / 700.0)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_and_mel_matrices(cfg: FbankConfig):
+    """Precompute (padded, 2*nbins) DFT basis and (nbins, num_mel) mel bank.
+
+    nbins = padded/2 (nyquist excluded), matching Kaldi MelBanks which
+    evaluates triangles on fft bins 0..padded/2-1.
+    """
+    padded = cfg.padded_length
+    nbins = padded // 2
+    k = np.arange(padded)[:, None]           # time index
+    f = np.arange(nbins)[None, :]            # frequency index
+    ang = 2.0 * np.pi * k * f / padded
+    cos_basis = np.cos(ang)
+    sin_basis = -np.sin(ang)
+    dft = np.concatenate([cos_basis, sin_basis], axis=1).astype(np.float32)
+
+    nyquist = 0.5 * cfg.sample_rate
+    high = cfg.high_freq if cfg.high_freq > 0 else nyquist + cfg.high_freq
+    mel_low, mel_high = _mel_scale(cfg.low_freq), _mel_scale(high)
+    delta = (mel_high - mel_low) / (cfg.num_mel_bins + 1)
+    fft_freqs = np.arange(nbins) * (cfg.sample_rate / padded)
+    mel_freqs = _mel_scale(fft_freqs)
+    bank = np.zeros((nbins, cfg.num_mel_bins), dtype=np.float64)
+    for b in range(cfg.num_mel_bins):
+        left = mel_low + b * delta
+        center = left + delta
+        right = center + delta
+        up = (mel_freqs - left) / (center - left)
+        down = (right - mel_freqs) / (right - center)
+        bank[:, b] = np.maximum(0.0, np.minimum(up, down))
+    return jnp.asarray(dft), jnp.asarray(bank.astype(np.float32))
+
+
+def num_frames(num_samples: int, cfg: FbankConfig) -> int:
+    if cfg.snip_edges:
+        if num_samples < cfg.frame_length:
+            return 0
+        return 1 + (num_samples - cfg.frame_length) // cfg.frame_shift
+    return (num_samples + cfg.frame_shift // 2) // cfg.frame_shift
+
+
+def _extract_frames(waveform: jnp.ndarray, cfg: FbankConfig) -> jnp.ndarray:
+    """(num_samples,) -> (T, frame_length) by reshape + shifted slices.
+
+    frame[t] = waveform[t*shift : t*shift + frame_length] assembled from
+    shift-sized segments — pure reshapes/slices/concat, no gather, so XLA
+    compiles it to views instead of a large scatter/gather program.
+    """
+    t = num_frames(waveform.shape[0], cfg)
+    shift, length = cfg.frame_shift, cfg.frame_length
+    n_whole = length // shift
+    rem = length % shift
+    need = (t + n_whole + (1 if rem else 0)) * shift
+    pad = need - waveform.shape[0]
+    if pad > 0:
+        waveform = jnp.pad(waveform, (0, pad))
+    seg = waveform[:need].reshape(-1, shift)
+    parts = [seg[i:i + t] for i in range(n_whole)]
+    if rem:
+        parts.append(seg[n_whole:n_whole + t, :rem])
+    return jnp.concatenate(parts, axis=1)
+
+
+def compute_fbank(
+    waveform: jnp.ndarray,
+    cfg: FbankConfig = FbankConfig(),
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """(num_samples,) float32 in int16 scale -> (T, feat_dim) features.
+
+    Kaldi operates on raw int16-valued samples; pass waveforms scaled to
+    [-32768, 32767].  `key` enables train-time dither (cfg.dither stddev).
+    """
+    frames = _extract_frames(waveform, cfg)
+    if cfg.dither != 0.0 and key is not None:
+        frames = frames + cfg.dither * jax.random.normal(key, frames.shape)
+    if cfg.remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+
+    if cfg.use_energy and cfg.raw_energy:
+        log_energy = jnp.log(
+            jnp.maximum(jnp.sum(frames * frames, axis=1), FLT_EPS))
+
+    if cfg.preemphasis != 0.0:
+        first = frames[:, :1] - cfg.preemphasis * frames[:, :1]
+        rest = frames[:, 1:] - cfg.preemphasis * frames[:, :-1]
+        frames = jnp.concatenate([first, rest], axis=1)
+
+    frames = frames * _window_function(cfg)[None, :]
+
+    if cfg.use_energy and not cfg.raw_energy:
+        log_energy = jnp.log(
+            jnp.maximum(jnp.sum(frames * frames, axis=1), FLT_EPS))
+
+    dft, mel = _dft_and_mel_matrices(cfg)
+    padded = cfg.padded_length
+    frames = jnp.pad(frames, ((0, 0), (0, padded - cfg.frame_length)))
+    spec = jnp.dot(frames, dft, preferred_element_type=jnp.float32)
+    nbins = padded // 2
+    power = spec[:, :nbins] ** 2 + spec[:, nbins:] ** 2
+    if not cfg.use_power:
+        power = jnp.sqrt(power)
+    mel_energies = jnp.dot(power, mel, preferred_element_type=jnp.float32)
+    if cfg.use_log_fbank:
+        mel_energies = jnp.log(jnp.maximum(mel_energies, FLT_EPS))
+    if cfg.use_energy:
+        return jnp.concatenate([log_energy[:, None], mel_energies], axis=1)
+    return mel_energies
+
+
+def compute_fbank_batch(
+    waveforms: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: FbankConfig = FbankConfig(),
+    key: jax.Array | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched fbank over padded waveforms.
+
+    Args:
+      waveforms: (B, S_max) float32, zero-padded.
+      lengths: (B,) int32 valid sample counts.
+    Returns (features (B, T_max, D), frame_counts (B,)).
+    """
+    feats = jax.vmap(lambda w: compute_fbank(w, cfg, key))(waveforms)
+    if cfg.snip_edges:
+        counts = jnp.where(
+            lengths < cfg.frame_length, 0,
+            1 + (lengths - cfg.frame_length) // cfg.frame_shift)
+    else:
+        counts = (lengths + cfg.frame_shift // 2) // cfg.frame_shift
+    return feats, counts

@@ -1,0 +1,62 @@
+"""Context splicing, frame skipping, and downsample padding.
+
+Semantics mirror the reference data pipeline (utils/tools.py:207-227 and
+utils/data_loader.py:138-142): splice left/right context with edge
+replication, keep every k-th frame, and pad the time axis to a multiple of
+the model's time downsampling factor.  Implemented for both numpy (host
+data pipeline) and jnp (on-device jit path) arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _xp(x):
+    return jnp if isinstance(x, jnp.ndarray) else np
+
+
+def make_context(feature, left: int, right: int):
+    """(T, D) -> (T, (left+1+right)*D) with edge-replicated shifts.
+
+    Column order matches the reference: [left_k..left_1, x, right_1..right_k].
+    """
+    if left == 0 and right == 0:
+        return feature
+    xp = _xp(feature)
+    t = feature.shape[0]
+    idx = xp.arange(t)
+    cols = []
+    for k in range(left, 0, -1):
+        cols.append(feature[xp.maximum(idx - k, 0)])
+    cols.append(feature)
+    for k in range(1, right + 1):
+        cols.append(feature[xp.minimum(idx + k, t - 1)])
+    return xp.concatenate(cols, axis=1)
+
+
+def skip_frames(feature, skip: int):
+    """Keep frames 0, skip, 2*skip, ... (reference skip_feat:218-227)."""
+    if skip in (0, 1):
+        return feature
+    return feature[::skip]
+
+
+def pad_to_multiple(feature, multiple: int):
+    """Zero-pad the time axis so T % multiple == 0."""
+    t = feature.shape[0]
+    rem = t % multiple
+    if rem == 0:
+        return feature
+    pad = multiple - rem
+    xp = _xp(feature)
+    widths = [(0, pad)] + [(0, 0)] * (feature.ndim - 1)
+    return xp.pad(feature, widths)
+
+
+def output_frames(t_in: int, skip: int, multiple: int) -> int:
+    """Frame count after skip + pad (the dataset-side length bookkeeping)."""
+    t = (t_in + skip - 1) // skip if skip > 1 else t_in
+    rem = t % multiple
+    return t + (multiple - rem if rem else 0)

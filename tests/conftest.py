@@ -1,13 +1,19 @@
 import os
 
 # Run tests on a virtual 8-device CPU mesh: deterministic, fast, and it
-# exercises the same sharding code paths the TPU uses.
+# exercises the same sharding code paths the TPU uses.  NOTE: in this
+# environment the axon TPU plugin ignores the JAX_PLATFORMS env var, so we
+# must also force the platform via jax.config before any backend is used.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
