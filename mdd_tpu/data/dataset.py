@@ -1,0 +1,221 @@
+"""Speech dataset + bucketed batching for the TPU input pipeline.
+
+Replaces the reference's torch DataLoader stack (utils/data_loader.py:
+55-192) with a host-NumPy pipeline built for XLA's compilation model:
+
+  * items join fbank scp + actual-phone labels + canonical transcripts
+    (reference SpeechDataset.process_feature_label:79-121 semantics,
+    including the `utt.split('.')[0]` scp-key normalization);
+  * per-item transform: SpecAugment + canonical-transcript mutation when
+    training, context splice, frame skip, pad-to-multiple (data_loader
+    __getitem__:123-146);
+  * batches are zero-padded and, critically, **bucketed by padded length**
+    so the number of distinct jit shapes is bounded (the torch reference
+    re-pads every batch to its own max length — free on GPU eager mode,
+    a recompile storm under XLA).
+
+Batch layout mirrors the reference collate (create_input:151-181):
+(inputs, input_frac_sizes, targets, target_sizes, trans, trans_sizes,
+utt_list), with input sizes stored as *fractions* of the padded length —
+the consumer multiplies by the model's output frame count
+(train_ctc.py:68), reproducing the reference's length bookkeeping
+(including its floor-rounding behavior).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mdd_tpu.data.vocab import Vocab
+from mdd_tpu.frontend import kaldi_io
+from mdd_tpu.frontend.augment import mutate_transcript, spec_augment
+from mdd_tpu.frontend.splice import make_context, pad_to_multiple, skip_frames
+
+
+@dataclasses.dataclass
+class Batch:
+    inputs: np.ndarray        # (B, T, D) float32
+    input_fracs: np.ndarray   # (B,) float32 — T_i / T_max
+    targets: np.ndarray       # (B, L) int32
+    target_sizes: np.ndarray  # (B,) int32
+    trans: np.ndarray         # (B, L2) int32
+    trans_sizes: np.ndarray   # (B,) int32
+    utt_ids: List[str]
+
+    @property
+    def size(self) -> int:
+        return self.inputs.shape[0]
+
+
+def _read_keyed(path: str) -> Dict[str, List[str]]:
+    out: Dict[str, List[str]] = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            utt, rest = line.split(" ", 1)
+            out[utt] = rest.split()
+    return out
+
+
+class SpeechDataset:
+    def __init__(
+        self,
+        vocab: Vocab,
+        scp_path: str,
+        lab_path: str,
+        trans_path: str,
+        left_ctx: int = 0,
+        right_ctx: int = 2,
+        n_skip_frame: int = 2,
+        n_downsample: int = 2,
+        train: bool = False,
+        augment_mode: int = 2,
+        mutation_prob: float = 0.1,
+    ):
+        self.vocab = vocab
+        self.left_ctx, self.right_ctx = left_ctx, right_ctx
+        self.n_skip_frame, self.n_downsample = n_skip_frame, n_downsample
+        self.train = train
+        self.augment_mode = augment_mode
+        self.mutation_prob = mutation_prob
+
+        scp = kaldi_io.read_scp(scp_path)
+        labels = _read_keyed(lab_path)
+        trans = _read_keyed(trans_path)
+        self.items: List[Tuple[str, str, List[int], List[int]]] = []
+        for utt, rx in scp.items():
+            key = utt.split(".")[0]
+            self.items.append((
+                key, rx, vocab.encode(labels[key]), vocab.encode(trans[key])))
+        assert len(self.items) == len(labels) == len(trans), \
+            "scp/label/transcript files disagree on the utterance set"
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def feature_dim_out(self, feat_dim: int) -> int:
+        return feat_dim * (self.left_ctx + 1 + self.right_ctx)
+
+    def load_item(self, idx: int, rng: Optional[np.random.Generator] = None):
+        """-> (feats (T, D'), label ids, trans ids, utt)."""
+        utt, rx, label, trans = self.items[idx]
+        feat = kaldi_io.load_mat(rx)
+        if self.train and rng is not None:
+            feat = spec_augment(feat, rng)
+            trans = mutate_transcript(trans, self.vocab, rng,
+                                      self.mutation_prob, self.augment_mode)
+        feat = skip_frames(
+            make_context(feat, self.left_ctx, self.right_ctx),
+            self.n_skip_frame)
+        feat = pad_to_multiple(feat, self.n_downsample)
+        return feat.astype(np.float32), list(label), list(trans), utt
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class BucketedLoader:
+    """Batching with shape bucketing.
+
+    Batches are grouped by similar frame length; each batch's time axis is
+    padded to a bucket boundary (multiple of `time_quantum`) and label axes
+    to multiples of `label_quantum`, so XLA sees a small closed set of
+    shapes across the whole run.
+    """
+
+    def __init__(
+        self,
+        dataset: SpeechDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        time_quantum: int = 64,
+        label_quantum: int = 16,
+        drop_last: bool = False,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.time_quantum = time_quantum
+        self.label_quantum = label_quantum
+        self.drop_last = drop_last
+        self._epoch = 0
+        # Sort once by (approximate) length for bucketing: read frame
+        # counts lazily from the first batch pass is wasteful; instead we
+        # bucket by actual loaded lengths within a shuffled window.
+        self._order = np.arange(len(dataset))
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        order = np.array(self._order)
+        if self.shuffle:
+            rng.shuffle(order)
+            # length-aware shuffling: load in windows, sort each window by
+            # length, emit batches — bounds padding waste while staying
+            # stochastic.
+            window = self.batch_size * 16
+        else:
+            window = len(order)
+
+        for wstart in range(0, len(order), window):
+            widx = order[wstart:wstart + window]
+            loaded = [self.ds.load_item(i, rng if self.ds.train else None)
+                      for i in widx]
+            loaded.sort(key=lambda it: it[0].shape[0])
+            for bstart in range(0, len(loaded), self.batch_size):
+                chunk = loaded[bstart:bstart + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    continue
+                yield self._collate(chunk)
+
+    def _collate(self, chunk) -> Batch:
+        b = len(chunk)
+        t_max = _round_up(max(it[0].shape[0] for it in chunk), self.time_quantum)
+        d = chunk[0][0].shape[1]
+        l_max = _round_up(max(len(it[1]) for it in chunk), self.label_quantum)
+        l2_max = _round_up(max(len(it[2]) for it in chunk), self.label_quantum)
+        inputs = np.zeros((b, t_max, d), np.float32)
+        fracs = np.zeros(b, np.float32)
+        targets = np.zeros((b, l_max), np.int32)
+        tsizes = np.zeros(b, np.int32)
+        trans = np.zeros((b, l2_max), np.int32)
+        trsizes = np.zeros(b, np.int32)
+        utts = []
+        for i, (feat, label, tr, utt) in enumerate(chunk):
+            inputs[i, :feat.shape[0]] = feat
+            fracs[i] = feat.shape[0] / t_max
+            targets[i, :len(label)] = label
+            tsizes[i] = len(label)
+            trans[i, :len(tr)] = tr
+            trsizes[i] = len(tr)
+            utts.append(utt)
+        return Batch(inputs, fracs, targets, tsizes, trans, trsizes, utts)
+
+
+def pad_batch_to(batch: Batch, batch_size: int) -> Tuple[Batch, np.ndarray]:
+    """Pad a short batch to `batch_size` rows; returns (batch, valid mask).
+
+    Needed for multi-device sharding where B must divide the mesh, and for
+    the 897/900-utterance eval sets that don't divide evenly.
+    """
+    b = batch.size
+    if b == batch_size:
+        return batch, np.ones(b, bool)
+    pad = batch_size - b
+    rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+    mask = np.concatenate([np.ones(b, bool), np.zeros(pad, bool)])
+    return Batch(rep(batch.inputs), rep(batch.input_fracs), rep(batch.targets),
+                 rep(batch.target_sizes), rep(batch.trans),
+                 rep(batch.trans_sizes), batch.utt_ids + ["<pad>"] * pad), mask

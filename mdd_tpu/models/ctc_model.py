@@ -92,7 +92,8 @@ class BiLstmLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # x: (B, T, D)
         if self.use_batch_norm:
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype,
                              name="bn")(x)
         d = x.shape[-1]
         h = self.hidden_size
@@ -136,7 +137,8 @@ class ConvSubsampler(nn.Module):
             x = nn.Conv(ch, kernel_size=k, strides=s,
                         padding=[(p[0], p[0]), (p[1], p[1])],
                         dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype,
                              name=f"bn{i}")(x)
             x = nn.relu(x)
             x = nn.Dropout(cfg.dropout, deterministic=not train)(x)
@@ -203,7 +205,7 @@ class CTCAttentionModel(nn.Module):
             context, _ = dot_attention(x, keys, values, mask)
             x = jnp.concatenate([x, context], axis=-1)  # (B, T', 1536)
 
-        x = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dtype,
                          name="head_bn")(x)
         logits = nn.Dense(cfg.num_class, use_bias=False, dtype=dtype,
                           name="head")(x)

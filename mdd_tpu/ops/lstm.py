@@ -75,16 +75,18 @@ def bilstm(
         xf = xf + b_fwd
     if b_bwd is not None:
         xb = xb + b_bwd
-    stacked_proj = jnp.concatenate([xf, xb], axis=1).astype(x.dtype)  # (T, 2B, 4H)
+    # Keep the direction axis separate from batch: (T, 2, B, 4H).  Folding
+    # it into the batch axis would force SPMD to re-shard inside the scan
+    # body when batch is partitioned over the mesh.
+    stacked_proj = jnp.stack([xf, xb], axis=1).astype(x.dtype)
     w_hh = jnp.stack([w_hh_fwd, w_hh_bwd])  # (2, H, 4H)
 
-    t, b2, four_h = stacked_proj.shape
-    b = b2 // 2
+    t, _, b, four_h = stacked_proj.shape
     h = four_h // 4
 
     def step(carry, xp):
         hprev, cprev = carry  # (2, B, H)
-        gates = xp.reshape(2, b, four_h) + jnp.einsum(
+        gates = xp + jnp.einsum(
             "dbh,dhk->dbk", hprev, w_hh, preferred_element_type=jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f) * cprev + jax.nn.sigmoid(i) * jnp.tanh(g)

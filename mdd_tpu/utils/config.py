@@ -1,0 +1,131 @@
+"""YAML config system, compatible with the reference's config files.
+
+Loads the reference's ctc_config.yaml schema (train_ctc.py:107-115) into a
+typed dataclass.  The reference passes CNN shape hyper-parameters as python
+literals through eval() (train_ctc.py:147-151); we parse them with
+ast.literal_eval — same accepted configs, no code execution.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import yaml
+
+
+def _literal(v):
+    if isinstance(v, str):
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return v
+    return v
+
+
+@dataclasses.dataclass
+class Config:
+    # experiment
+    exp_name: str = "default"
+    checkpoint_dir: str = "checkpoints/"
+    seed: int = 1234
+
+    # data
+    vocab_file: str = ""
+    train_scp_path: str = ""
+    train_lab_path: str = ""
+    train_trans_path: str = ""
+    valid_scp_path: str = ""
+    valid_lab_path: str = ""
+    valid_trans_path: str = ""
+    test_scp_path: str = ""
+    test_lab_path: str = ""
+    test_trans_path: str = ""
+    test_wrd_path: str = ""
+    left_ctx: int = 0
+    right_ctx: int = 2
+    n_skip_frame: int = 2
+    n_downsample: int = 2
+    num_workers: int = 0
+    shuffle_train: bool = True
+    feature_dim: int = 81
+    mel: bool = False
+    feature_type: str = "fbank"
+
+    # model
+    rnn_input_size: int = 243
+    rnn_hidden_size: int = 384
+    rnn_layers: int = 4
+    rnn_type: str = "nn.LSTM"
+    bidirectional: bool = True
+    batch_norm: bool = True
+    drop_out: float = 0.2
+    add_cnn: bool = True
+    layers: int = 2
+    channel: Any = ((1, 32), (32, 32))
+    kernel_size: Any = ((3, 3), (3, 3))
+    stride: Any = ((1, 2), (2, 2))
+    padding: Any = ((1, 1), (1, 1))
+    pooling: Any = None
+    activation_function: str = "relu"
+    output_class_dim: int = 0
+    use_text_attention: bool = True
+    compute_dtype: str = "float32"
+
+    # training
+    use_gpu: bool = True          # accepted for compat; device = jax default
+    init_lr: float = 0.001
+    num_epoches: int = 500
+    end_adjust_acc: float = 2.0
+    lr_decay: float = 0.5
+    batch_size: int = 64
+    weight_decay: float = 0.0005
+    verbose_step: int = 50
+    max_adjust_times: int = 8
+    plateau_patience: int = 10
+    augment_mode: int = 2
+    mutation_prob: float = 0.1
+    num_buckets: int = 8
+
+    # decoding
+    decode_type: str = "Beam"     # reference quirk: anything != 'Greedy' -> Beam
+    beam_width: int = 10
+    lm_alpha: float = 0.0
+    lm_path: str = ""
+
+    # parallelism (not in the reference; first-class here)
+    data_parallel: int = 0        # 0 = all local devices
+
+    def model_config(self, num_class: int):
+        from mdd_tpu.models.ctc_model import ModelConfig
+
+        channels = tuple(c[1] for c in self.channel)
+        input_dim = self.feature_dim * (self.left_ctx + 1 + self.right_ctx)
+        return ModelConfig(
+            input_dim=input_dim,
+            num_class=num_class,
+            conv_channels=channels,
+            conv_kernels=tuple(tuple(k) for k in self.kernel_size),
+            conv_strides=tuple(tuple(s) for s in self.stride),
+            conv_padding=tuple(tuple(p) for p in self.padding),
+            rnn_hidden_size=self.rnn_hidden_size,
+            rnn_layers=self.rnn_layers,
+            use_text_attention=self.use_text_attention,
+            text_vocab_size=max(45, num_class + 2),
+            dropout=self.drop_out,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+def load_config(path: str) -> Config:
+    with open(path, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = Config()
+    literal_fields = {"channel", "kernel_size", "stride", "padding", "pooling"}
+    for k, v in raw.items():
+        if k in literal_fields:
+            v = _literal(v)
+        if hasattr(cfg, k):
+            setattr(cfg, k, v)
+    return cfg
