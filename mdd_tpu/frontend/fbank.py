@@ -121,7 +121,10 @@ def _dft_and_mel_matrices(cfg: FbankConfig):
         up = (mel_freqs - left) / (center - left)
         down = (right - mel_freqs) / (right - center)
         bank[:, b] = np.maximum(0.0, np.minimum(up, down))
-    return jnp.asarray(dft), jnp.asarray(bank.astype(np.float32))
+    # Return numpy (not jnp): this function is lru_cached and may first be
+    # called inside a jit/vmap trace — caching a traced constant would leak
+    # the tracer into later calls.
+    return dft, bank.astype(np.float32)
 
 
 def num_frames(num_samples: int, cfg: FbankConfig) -> int:
