@@ -139,6 +139,47 @@ def mdd_accumulate(d1: Dict, d2: Dict, counts: MddCounts) -> None:
                 counts.false_rejection += len(d2["I"])
 
 
+def mdd_accumulate_subset(d1: Dict, d2: Dict, counts: MddCounts) -> None:
+    """Per-accent subset tallies (the reference's Mandarin-speaker branch,
+    test_ctc_nosil.py:249-297).
+
+    Identical to ``mdd_accumulate`` except in the two one-sided insertion
+    branches, where the reference adds 1 instead of the list length
+    (:273,:277) — a quirk preserved for metric parity.  Callers wanting
+    both the overall and subset tallies should pass copies to one of the
+    two calls: the insertion matching mutates d1['I']/d2['I'].
+    """
+    counts.total_canonical_phones += len(d1.keys()) - 1
+    for k in d1.keys():
+        if k != "I":
+            if d1[k] == "-" and d2[k] == "-":
+                counts.true_accept += 1
+            elif d1[k] == "-" and d2[k] != "-":
+                counts.false_rejection += 1
+            elif d1[k] != "-" and d2[k] == "-":
+                counts.false_accept += 1
+            else:
+                if d1[k] == d2[k]:
+                    counts.tr_correct_diag += 1
+                else:
+                    counts.tr_wrong_diag += 1
+        else:
+            if d1["I"] == [] and d2["I"] == []:
+                pass
+            elif d1["I"] != [] and d2["I"] == []:
+                counts.false_accept += 1      # reference quirk: not len()
+            elif d1["I"] == [] and d2["I"] != []:
+                counts.false_rejection += 1   # reference quirk: not len()
+            else:
+                for e in d1["I"]:
+                    if e in d2["I"]:
+                        d1["I"].remove(e)
+                        d2["I"].remove(e)
+                        counts.tr_correct_diag += 1
+                counts.false_accept += len(d1["I"])
+                counts.false_rejection += len(d2["I"])
+
+
 def align_canonical_decoded(
     decoded: List[str], canonical: List[str], ops: List[str]
 ) -> Tuple[List[str], List[str], List[str]]:

@@ -1,0 +1,228 @@
+"""MDD evaluation harness: decode a test set, score PER + TA/FR/FA/TR.
+
+The TPU-native equivalent of the reference's
+egs/attention_aug/steps/test_ctc_nosil.py: a jit-compiled batched forward
+over the bucketed loader, greedy or prefix-beam decoding, sil-stripping,
+three pairwise alignments per utterance, hierarchical MDD accounting with
+a per-accent (default Mandarin, speaker prefix TXHC) breakdown, and the
+decode_seq/human_seq/transcribe dump files the Kaldi scoring path
+(result/mdd_result.sh) consumes.
+
+The pure accounting lives in ``score_mdd`` so it can be regression-tested
+directly against the committed 900-utterance result dumps.
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdd_tpu.align.levenshtein import align, edit_distance
+from mdd_tpu.align.mdd import (
+    MddCounts,
+    alignment_to_slots,
+    mdd_accumulate,
+    mdd_accumulate_subset,
+)
+from mdd_tpu.data.dataset import Batch, BucketedLoader, pad_batch_to
+from mdd_tpu.data.vocab import Vocab
+from mdd_tpu.decode.beam import BeamSearchDecoder
+from mdd_tpu.decode.greedy import collapse_ctc
+from mdd_tpu.models.ctc_model import CTCAttentionModel, ModelConfig
+
+
+@dataclass
+class MddReport:
+    counts: MddCounts = field(default_factory=MddCounts)
+    accent_counts: MddCounts = field(default_factory=MddCounts)
+    errors: int = 0
+    tokens: int = 0
+    accent_errors: int = 0
+    accent_tokens: int = 0
+    n_utts: int = 0
+    decode_minutes: float = 0.0
+
+    @property
+    def per(self) -> float:
+        return 100.0 * self.errors / self.tokens if self.tokens else 0.0
+
+    @property
+    def accent_per(self) -> float:
+        return (100.0 * self.accent_errors / self.accent_tokens
+                if self.accent_tokens else 0.0)
+
+
+def _strip_sil(tokens: Sequence[str]) -> List[str]:
+    return [t for t in tokens if t != "sil"]
+
+
+def score_mdd(
+    triples: Iterable[Tuple[str, Sequence[str], Sequence[str], Sequence[str]]],
+    accent_prefixes: Tuple[str, ...] = ("TXHC",),
+    strip_sil: bool = True,
+) -> MddReport:
+    """Score (utt, decoded, label, canonical) phone sequences.
+
+    Reproduces test_ctc_nosil.py:218-298: PER = edit-distance(decoded,
+    label) over label tokens; MDD counts from the label<->canonical and
+    decoded<->canonical alignment slot dicts.  `accent_prefixes` selects
+    the per-accent subset by utterance-id prefix (reference: utt[:4] in
+    ['TXHC']).
+    """
+    rep = MddReport()
+    for utt, decoded, label, canonical in triples:
+        if strip_sil:
+            decoded = _strip_sil(decoded)
+            label = _strip_sil(label)
+            canonical = _strip_sil(canonical)
+        in_accent = any(utt.startswith(p) for p in accent_prefixes)
+
+        _, lc_path = align(label, canonical)
+        dist, _ = align(decoded, label)
+        _, dc_path = align(decoded, canonical)
+
+        d1 = alignment_to_slots(label, canonical, lc_path)
+        d2 = alignment_to_slots(decoded, canonical, dc_path)
+        if in_accent:
+            mdd_accumulate(copy.deepcopy(d1), copy.deepcopy(d2), rep.counts)
+            mdd_accumulate_subset(d1, d2, rep.accent_counts)
+            rep.accent_errors += dist
+            rep.accent_tokens += len(label)
+        else:
+            mdd_accumulate(d1, d2, rep.counts)
+
+        rep.errors += dist
+        rep.tokens += len(label)
+        rep.n_utts += 1
+    return rep
+
+
+def _format_counts(c: MddCounts, errors: int, tokens: int) -> List[str]:
+    per = 100.0 * errors / tokens if tokens else 0.0
+    lines = [
+        f"total_error: {errors}",
+        f"total_phoneme: {tokens}",
+        "Phoneme error rate on test set: %.4f" % per,
+        "total :  %d %d" % (c.total_canonical_phones,
+                            c.true_accept + c.false_rejection
+                            + c.false_accept + c.true_rejection),
+        "TA :  %d" % c.true_accept,
+        "FR :  %d" % c.false_rejection,
+        "FA :  %d" % c.false_accept,
+        "TR :  %d" % c.true_rejection,
+        "TR correct :  %d" % c.tr_correct_diag,
+        "TR wrong :   %d" % c.tr_wrong_diag,
+        "Precision : %.4f" % (c.precision * 100),
+        "Recall : %.4f" % (c.recall * 100),
+        "F1 score : %.4f" % (c.f1 * 100),
+    ]
+    return lines
+
+
+def format_mdd_report(rep: MddReport, accent_name: str = "mandarin") -> str:
+    lines = ["-" * 13 + " all languages " + "-" * 13]
+    lines += _format_counts(rep.counts, rep.errors, rep.tokens)
+    lines += ["-" * 15 + f" {accent_name} " + "-" * 15]
+    lines += _format_counts(rep.accent_counts, rep.accent_errors,
+                            rep.accent_tokens)
+    lines.append("time used for decode %d sentences: %.4f minutes."
+                 % (rep.n_utts, rep.decode_minutes))
+    return "\n".join(lines)
+
+
+class EvalSession:
+    """Jit-compiled batched forward + decoding for evaluation/inference."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        variables: Dict,
+        vocab: Vocab,
+        decode_type: str = "greedy",
+        beam_width: int = 10,
+        lm_path: Optional[str] = None,
+        lm_alpha: float = 0.0,
+    ):
+        self.cfg = model_cfg
+        self.model = CTCAttentionModel(model_cfg)
+        self.variables = variables
+        self.vocab = vocab
+        self._fwd = jax.jit(self._forward)
+        # decode_type semantics follow the reference: anything that is not
+        # 'greedy'/'Greedy' selects the beam decoder — including the
+        # committed config value "Nono" (test_ctc_nosil.py:135-138).
+        self.greedy = decode_type.lower() == "greedy"
+        if not self.greedy:
+            lm = None
+            if lm_path:
+                from mdd_tpu.decode.arpa import ArpaBigramLM
+                lm = ArpaBigramLM.from_file(lm_path)
+            self.beam = BeamSearchDecoder(
+                vocab.index2word, beam_width=beam_width, lm=lm,
+                lm_alpha=lm_alpha)
+
+    def _forward(self, inputs, fracs, trans, trsizes):
+        log_probs = self.model.apply(
+            self.variables, inputs, trans, trsizes, train=False)
+        out_len = log_probs.shape[0]
+        frames = (fracs * out_len).astype(jnp.int32)
+        return log_probs, frames
+
+    def decode_batch(self, batch: Batch) -> Tuple[List[List[str]], np.ndarray]:
+        """-> (decoded phone lists, output frame counts)."""
+        log_probs, frames = self._fwd(
+            jnp.asarray(batch.inputs), jnp.asarray(batch.input_fracs),
+            jnp.asarray(batch.trans), jnp.asarray(batch.trans_sizes))
+        frames = np.asarray(frames)
+        if self.greedy:
+            ids = np.asarray(jnp.argmax(log_probs, axis=-1)).T  # (B, T)
+            seqs = [collapse_ctc(ids[b], int(frames[b]))
+                    for b in range(ids.shape[0])]
+        else:
+            probs = np.exp(np.asarray(log_probs)).transpose(1, 0, 2)
+            seqs = self.beam.decode(probs, frames.tolist())
+        return [self.vocab.decode(s) for s in seqs], frames
+
+
+def evaluate_model(
+    session: EvalSession,
+    loader: BucketedLoader,
+    accent_prefixes: Tuple[str, ...] = ("TXHC",),
+    dump_dir: Optional[str] = None,
+    log=print,
+) -> MddReport:
+    """Decode the whole loader and score (test_ctc_nosil.py:165-338)."""
+    vocab = session.vocab
+    triples = []
+    start = time.time()
+    for batch in loader:
+        decoded, _ = session.decode_batch(batch)
+        for i, utt in enumerate(batch.utt_ids):
+            label = vocab.decode(
+                batch.targets[i][: batch.target_sizes[i]])
+            canonical = vocab.decode(
+                batch.trans[i][: batch.trans_sizes[i]])
+            triples.append((utt, decoded[i], label, canonical))
+
+    if dump_dir is not None:
+        d = Path(dump_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / "decode_seq.log", "w") as w1, \
+             open(d / "human_seq.log", "w") as w2, \
+             open(d / "transcribe.log", "w") as w3:
+            for utt, decoded, label, canonical in triples:
+                w1.write(f"{utt} {' '.join(_strip_sil(decoded))}\n")
+                w2.write(f"{utt} {' '.join(_strip_sil(label))}\n")
+                w3.write(f"{utt} {' '.join(_strip_sil(canonical))}\n")
+
+    rep = score_mdd(triples, accent_prefixes)
+    rep.decode_minutes = (time.time() - start) / 60.0
+    log(format_mdd_report(rep))
+    return rep
