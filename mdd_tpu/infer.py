@@ -1,0 +1,253 @@
+"""Product inference: single-word pronunciation diagnosis.
+
+The TPU-native counterpart of the reference demo entry point
+(egs/attention_aug/infer.py:435-601): for each `N.wav` + `N.txt` prompt
+pair in a directory —
+
+  resample -> (optional denoise hook) -> fbank + committed-CMVN ->
+  CTC-attention forward + greedy/beam decode -> strip sil / drop err ->
+  align decoded vs canonical -> per-phone fault lists -> 0-100 score ->
+  printable report + RTF breakdown.
+
+Deliberate fixes versus the reference, documented per SURVEY.md §7:
+input wavs are never rewritten on resample (infer.py:501-503 mutates the
+user's file), temp artifacts are never scattered next to the inputs, and
+CUDA is not force-disabled — the model runs on whatever device jit picks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mdd_tpu.align.levenshtein import align
+from mdd_tpu.align.mdd import (
+    align_canonical_decoded,
+    fault_statistics,
+    word_score,
+)
+from mdd_tpu.data.dataset import Batch
+from mdd_tpu.data.vocab import Vocab
+from mdd_tpu.evals.evaluate import EvalSession
+from mdd_tpu.frontend.cmvn import CmvnStats
+from mdd_tpu.frontend.fbank import FbankConfig
+from mdd_tpu.frontend.pipeline import featurize_wavs
+from mdd_tpu.frontend.splice import make_context, pad_to_multiple, skip_frames
+from mdd_tpu.frontend.wav import read_audio, resample, write_wav
+from mdd_tpu.lexicon.dictionary import CMU_TO_IPA_WIKI, Phonetic
+from mdd_tpu.models.ctc_model import ModelConfig
+
+
+@dataclasses.dataclass
+class WordDiagnosis:
+    utt_id: str
+    word: str
+    ipa_display: str
+    translation: str
+    canonical_row: str
+    ops_row: str
+    decoded_row: str
+    insertion_faults: List[str]
+    substitution_faults: List[str]
+    deletion_faults: List[str]
+    correct: int
+    total: int
+    score: int
+
+    def render(self) -> str:
+        lines = [
+            "id     : " + self.utt_id,
+            f"{self.utt_id}: {self.word}",
+            self.ipa_display,
+        ]
+        if self.translation:
+            lines.append(self.translation)
+        lines += [
+            self.canonical_row,
+            self.ops_row,
+            self.decoded_row,
+            "ins err: " + " ".join(self.insertion_faults),
+            "sub err: " + " ".join(self.substitution_faults),
+            "del err: " + " ".join(self.deletion_faults),
+            f"Comp.  : {self.correct}/{self.total}",
+            f"score  : {self.score}",
+            "",
+        ]
+        return "\n".join(lines)
+
+
+def _aligned_rows(decoded: Sequence[str], canonical: Sequence[str],
+                  ops: Sequence[str]) -> Tuple[str, str, str]:
+    """Column-aligned canonical / op / decoded display rows
+    (reference print_aligned_string semantics)."""
+    widths = [max(len(str(canonical[i])), len(str(decoded[i])), 1)
+              for i in range(len(ops))]
+    can = " ".join(str(canonical[i]).ljust(widths[i]) for i in range(len(ops)))
+    op = " ".join(str(ops[i]).ljust(widths[i]) for i in range(len(ops)))
+    dec = " ".join(str(decoded[i]).ljust(widths[i]) for i in range(len(ops)))
+    return ("canonical : " + can, "            " + op, "decode    : " + dec)
+
+
+class InferenceEngine:
+    """End-to-end single-word diagnosis."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        variables: Dict,
+        vocab: Vocab,
+        cmvn: CmvnStats,
+        phonetic: Optional[Phonetic] = None,
+        decode_type: str = "greedy",
+        beam_width: int = 10,
+        lm_path: Optional[str] = None,
+        lm_alpha: float = 0.0,
+        fbank_cfg: FbankConfig = FbankConfig(),
+        left_ctx: int = 0,
+        right_ctx: int = 2,
+        n_skip_frame: int = 2,
+        n_downsample: int = 2,
+        denoiser: Optional[Callable[[np.ndarray, int], np.ndarray]] = None,
+        max_wav_seconds: float = 180.0,
+        use_ipa: bool = False,
+    ):
+        self.session = EvalSession(model_cfg, variables, vocab,
+                                   decode_type, beam_width, lm_path, lm_alpha)
+        self.vocab = vocab
+        self.cmvn = cmvn
+        self.fbank_cfg = fbank_cfg
+        self.phonetic = phonetic or Phonetic()
+        self.left_ctx, self.right_ctx = left_ctx, right_ctx
+        self.n_skip_frame, self.n_downsample = n_skip_frame, n_downsample
+        self.denoiser = denoiser
+        self.max_wav_seconds = max_wav_seconds
+        self.use_ipa = use_ipa
+        self._timings: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    def _prepare_audio(self, wav_path: str) -> Optional[np.ndarray]:
+        data, sr = read_audio(wav_path)
+        if data.ndim > 1:
+            data = data[:, 0]
+        if sr != 16000:
+            data = resample(data, sr, 16000)
+        if self.denoiser is not None:
+            data = self.denoiser(data, 16000)
+        if len(data) / 16000.0 > self.max_wav_seconds:
+            # reference length gate: silence.wav length == 3 min
+            # (infer.py:509-511)
+            return None
+        return data.astype(np.float32)
+
+    def _featurize(self, wavs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        import tempfile
+
+        # featurize via in-memory path: write temp wavs only when the
+        # source needed resampling; otherwise reuse the direct API.
+        from mdd_tpu.frontend.pipeline import _BatchedFbank
+        from mdd_tpu.frontend.cmvn import apply_cmvn
+
+        fbank = _BatchedFbank(self.fbank_cfg)
+        out = {}
+        utts = sorted(wavs)
+        for s in range(0, len(utts), 16):
+            chunk = utts[s:s + 16]
+            feats = fbank([wavs[u] for u in chunk])
+            for u, f in zip(chunk, feats):
+                out[u] = np.asarray(apply_cmvn(f, self.cmvn))
+        return out
+
+    def _model_batch(self, utt: str, feats: np.ndarray,
+                     canonical_units: List[str]) -> Batch:
+        x = pad_to_multiple(
+            skip_frames(make_context(feats, self.left_ctx, self.right_ctx),
+                        self.n_skip_frame), self.n_downsample)
+        trans = np.asarray([self.vocab.encode(canonical_units)], np.int32)
+        return Batch(
+            inputs=np.asarray(x, np.float32)[None],
+            input_fracs=np.ones(1, np.float32),
+            targets=trans.copy(), target_sizes=np.asarray([trans.shape[1]],
+                                                          np.int32),
+            trans=trans, trans_sizes=np.asarray([trans.shape[1]], np.int32),
+            utt_ids=[utt])
+
+    # ------------------------------------------------------------------
+    def diagnose_word(self, utt_id: str, wav: np.ndarray, word: str,
+                      canonical_units: Optional[List[str]] = None
+                      ) -> WordDiagnosis:
+        """Diagnose one recorded word against its prompt."""
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            if canonical_units is None:
+                canonical_units = self.phonetic.canonical_model_phones(word)
+            ipa_display = self.phonetic.api_word_phonetic(word)
+            translation = self.phonetic.api_word_translation(word)
+
+        feats = self._featurize({utt_id: wav})[utt_id]
+        batch = self._model_batch(utt_id, feats, canonical_units)
+        decoded_lists, _ = self.session.decode_batch(batch)
+        decoded = [p for p in decoded_lists[0] if p not in ("sil", "err")]
+        canonical = [p for p in canonical_units if p != "sil"]
+
+        _, dc_path = align(decoded, canonical)
+
+        if self.use_ipa:
+            decoded = [CMU_TO_IPA_WIKI.get(p.upper(), p) for p in decoded]
+            canonical = [CMU_TO_IPA_WIKI.get(p.upper(), p) for p in canonical]
+
+        dec, can, ops = align_canonical_decoded(decoded, canonical, dc_path)
+        ins_f, sub_f, del_f = fault_statistics(ops, can, dec)
+        score, correct, total = word_score(ops, len(ins_f))
+        can_row, ops_row, dec_row = _aligned_rows(dec, can, ops)
+        return WordDiagnosis(
+            utt_id=utt_id, word=word, ipa_display=ipa_display,
+            translation=translation, canonical_row=can_row, ops_row=ops_row,
+            decoded_row=dec_row, insertion_faults=ins_f,
+            substitution_faults=sub_f, deletion_faults=del_f,
+            correct=correct, total=total, score=score)
+
+    def diagnose_dir(self, wav_dir: str, log=print) -> List[WordDiagnosis]:
+        """The reference demo flow over a directory of N.wav + N.txt pairs
+        (infer.py:486-597), with the per-stage RTF breakdown report."""
+        t0 = time.time()
+        d = Path(wav_dir)
+        items: List[Tuple[str, np.ndarray, str]] = []
+        total_audio = 0.0
+        for p in sorted(d.iterdir(), key=lambda q: q.name):
+            if p.suffix != ".wav":
+                continue
+            txt = p.with_suffix(".txt")
+            if not txt.exists():
+                continue
+            wav = self._prepare_audio(str(p))
+            if wav is None:
+                log(f"{p} skipped, wav length over "
+                    f"{self.max_wav_seconds:.0f}s limit")
+                continue
+            total_audio += len(wav) / 16000.0
+            items.append((p.stem, wav, txt.read_text().strip()))
+        t1 = time.time()
+
+        results = []
+        for utt, wav, word in items:
+            diag = self.diagnose_word(utt, wav, word)
+            log(diag.render())
+            results.append(diag)
+        t2 = time.time()
+
+        if total_audio > 0:
+            rtf = (t2 - t0) / total_audio
+            log("RTF: %.4f, time used for decode %d sentences: %.4f "
+                "seconds, total wav length: %.4f seconds"
+                % (rtf, len(items), t2 - t0, total_audio))
+            log("audio load time: %.4f, mdd infer time: %.4f"
+                % ((t1 - t0) / total_audio, (t2 - t1) / total_audio))
+        return results

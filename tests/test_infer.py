@@ -1,0 +1,85 @@
+"""Product-inference tests: full diagnosis flow on real demo recordings
+with a random-init model, fault/score semantics on crafted paths."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mdd_tpu.align.mdd import align_canonical_decoded, fault_statistics, word_score
+from mdd_tpu.data.vocab import Vocab
+from mdd_tpu.frontend.cmvn import parse_kaldi_cmvn_text
+from mdd_tpu.infer import InferenceEngine, WordDiagnosis, _aligned_rows
+from mdd_tpu.lexicon.dictionary import Phonetic, default_asset_dir
+from mdd_tpu.models.ctc_model import CTCAttentionModel, ModelConfig
+
+
+@pytest.fixture(scope="module")
+def engine(reference_dir):
+    if default_asset_dir() is None:
+        pytest.skip("dictionary assets unavailable")
+    units = reference_dir / "egs" / "attention_aug" / "data" / "units"
+    cmvn_path = (reference_dir / "egs" / "attention_aug" / "data"
+                 / "global_fbank_cmvn.txt")
+    vocab = Vocab.from_units_file(str(units))
+    cfg = ModelConfig(input_dim=243, num_class=vocab.n_words,
+                      rnn_hidden_size=32, rnn_layers=2, text_embed_size=32)
+    model = CTCAttentionModel(cfg)
+    feats = np.zeros((1, 16, 243), np.float32)
+    trans = np.zeros((1, 4), np.int32)
+    variables = model.init(jax.random.key(0), feats, trans,
+                           np.asarray([4], np.int32))
+    return InferenceEngine(
+        cfg, variables, vocab,
+        cmvn=parse_kaldi_cmvn_text(str(cmvn_path)),
+        phonetic=Phonetic())
+
+
+def test_diagnose_word_runs(engine, reference_dir):
+    from mdd_tpu.frontend.wav import read_audio
+
+    wav_path = reference_dir / "egs" / "vocabulary" / "single" / "1.wav"
+    word = (reference_dir / "egs" / "vocabulary" / "single"
+            / "1.txt").read_text().strip()
+    wav, sr = read_audio(str(wav_path))
+    diag = engine.diagnose_word("1", wav.astype(np.float32), word)
+    assert isinstance(diag, WordDiagnosis)
+    assert 0 <= diag.score <= 100
+    assert diag.total >= diag.correct
+    text = diag.render()
+    assert "score  :" in text and "ins err:" in text
+    assert word in text
+
+
+def test_diagnose_dir_end_to_end(engine, reference_dir, tmp_path):
+    import shutil
+
+    src = reference_dir / "egs" / "vocabulary" / "single"
+    for i in (1, 2):
+        shutil.copy(src / f"{i}.wav", tmp_path / f"{i}.wav")
+        shutil.copy(src / f"{i}.txt", tmp_path / f"{i}.txt")
+    logs = []
+    results = engine.diagnose_dir(str(tmp_path), log=logs.append)
+    assert len(results) == 2
+    assert any("RTF" in l for l in logs)
+    # inputs must NOT be rewritten (reference rewrites on resample; we
+    # deliberately do not)
+    assert (tmp_path / "1.wav").read_bytes() == (src / "1.wav").read_bytes()
+
+
+def test_perfect_pronunciation_scores_100():
+    ops = ["-"] * 5
+    score, correct, total = word_score(ops, 0)
+    assert (score, correct, total) == (100, 5, 5)
+
+
+def test_fault_lists_and_rows():
+    decoded = ["k", "ae", "b"]
+    canonical = ["k", "ae", "t"]
+    ops = ["-", "-", "S"]
+    dec, can, ops2 = align_canonical_decoded(decoded, canonical, ops)
+    ins, sub, dele = fault_statistics(ops2, can, dec)
+    assert sub == ["t"] and not ins and not dele
+    can_row, ops_row, dec_row = _aligned_rows(dec, can, ops2)
+    assert can_row.startswith("canonical :")
+    assert len(can_row) == len(dec_row)
