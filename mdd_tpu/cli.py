@@ -1,0 +1,279 @@
+"""Command-line interface: the run.sh pipeline as subcommands.
+
+Replaces the reference's stage-gated shell driver
+(egs/attention_aug/run.sh:23-64) and scattered entry scripts with one
+CLI:
+
+  python -m mdd_tpu prepare-timit    --timit-dir D --out DIR
+  python -m mdd_tpu prepare-l2arctic --l2-dir D --out-root DIR
+  python -m mdd_tpu merge            --dirs A B --out DIR
+  python -m mdd_tpu units            --phn-text F --out UNITS
+  python -m mdd_tpu feat             --wav-scp F --out-dir DIR [--cmvn F]
+  python -m mdd_tpu train-lm         --phn-text F --out ARPA
+  python -m mdd_tpu train            --conf YAML
+  python -m mdd_tpu evaluate         --conf YAML [--dump-dir DIR]
+  python -m mdd_tpu infer            --wav-transcript-path DIR --conf YAML
+  python -m mdd_tpu benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import List, Optional
+
+
+def _model_config_from_meta(meta: dict):
+    from mdd_tpu.models.ctc_model import ModelConfig
+
+    raw = dict(meta["model_config"])
+    for k in ("conv_channels", "conv_kernels", "conv_strides",
+              "conv_padding"):
+        if k in raw:
+            v = raw[k]
+            raw[k] = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+    return ModelConfig(**raw)
+
+
+def _build_loader(cfg, vocab, scp, lab, trans, train: bool):
+    from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
+
+    ds = SpeechDataset(
+        vocab, scp, lab, trans,
+        left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
+        n_skip_frame=cfg.n_skip_frame, n_downsample=cfg.n_downsample,
+        train=train, augment_mode=cfg.augment_mode,
+        mutation_prob=cfg.mutation_prob)
+    return BucketedLoader(ds, cfg.batch_size,
+                          shuffle=train and cfg.shuffle_train, seed=cfg.seed)
+
+
+def cmd_prepare_timit(args) -> int:
+    from mdd_tpu.data.prepare import prepare_timit
+
+    speakers = None
+    if args.speakers_file:
+        speakers = [l.strip() for l in open(args.speakers_file)
+                    if l.strip()]
+    n = prepare_timit(args.timit_dir, args.out, speakers=speakers,
+                      phoneme_map=args.phoneme_map)
+    print(f"prepared {n} TIMIT utterances -> {args.out}")
+    return 0
+
+
+def cmd_prepare_l2arctic(args) -> int:
+    from mdd_tpu.data.prepare import prepare_l2arctic
+
+    for split in ("train", "dev", "test"):
+        out = f"{args.out_root}/l2_{split}"
+        n = prepare_l2arctic(args.l2_dir, out, split,
+                             keep_reduced=not args.fold_reduced)
+        print(f"prepared {n} L2-ARCTIC {split} utterances -> {out}")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from mdd_tpu.data.prepare import merge_data_dirs
+
+    merge_data_dirs(args.dirs, args.out)
+    print(f"merged {len(args.dirs)} dirs -> {args.out}")
+    return 0
+
+
+def cmd_units(args) -> int:
+    from mdd_tpu.data.prepare import build_units
+
+    units = build_units(args.phn_text, args.out)
+    print(f"{len(units)} units -> {args.out}")
+    return 0
+
+
+def cmd_feat(args) -> int:
+    from mdd_tpu.frontend.cmvn import parse_kaldi_cmvn_text
+    from mdd_tpu.frontend.pipeline import extract_split
+
+    cmvn = parse_kaldi_cmvn_text(args.cmvn) if args.cmvn else None
+    scp_path, _ = extract_split(args.wav_scp, args.out_dir,
+                                name=args.name, cmvn=cmvn,
+                                batch_size=args.batch_size)
+    print(f"features -> {scp_path}")
+    return 0
+
+
+def cmd_train_lm(args) -> int:
+    from mdd_tpu.decode.lm_train import train_phone_lm
+
+    n = train_phone_lm(args.phn_text, args.out)
+    print(f"trained bigram LM on {n} sentences -> {args.out}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from mdd_tpu.data.vocab import Vocab
+    from mdd_tpu.train.loop import Trainer
+    from mdd_tpu.utils.config import load_config
+
+    cfg = load_config(args.conf)
+    vocab = Vocab.from_units_file(cfg.vocab_file)
+    print(f"Vocabulary size is {vocab.n_words}")
+    train_loader = _build_loader(cfg, vocab, cfg.train_scp_path,
+                                 cfg.train_lab_path, cfg.train_trans_path,
+                                 train=True)
+    dev_loader = _build_loader(cfg, vocab, cfg.valid_scp_path,
+                               cfg.valid_lab_path, cfg.valid_trans_path,
+                               train=False)
+    trainer = Trainer(
+        cfg.model_config(vocab.n_words),
+        init_lr=cfg.init_lr, weight_decay=cfg.weight_decay,
+        lr_decay=cfg.lr_decay, end_adjust_acc=cfg.end_adjust_acc,
+        plateau_patience=cfg.plateau_patience,
+        max_adjust_times=cfg.max_adjust_times, seed=cfg.seed,
+        n_devices=cfg.data_parallel)
+    summary = trainer.fit(train_loader, dev_loader,
+                          num_epochs=cfg.num_epoches,
+                          print_every=cfg.verbose_step,
+                          checkpoint_dir=cfg.checkpoint_dir,
+                          exp_name=cfg.exp_name)
+    print("best dev loss %.4f acc %.4f after %d epochs"
+          % (summary["best_dev_loss"], summary["best_acc"],
+             summary["epochs"]))
+    return 0
+
+
+def _load_eval_session(cfg, checkpoint: Optional[str] = None):
+    import os
+
+    from mdd_tpu.data.vocab import Vocab
+    from mdd_tpu.evals.evaluate import EvalSession
+    from mdd_tpu.train.checkpoint import load_checkpoint
+
+    vocab = Vocab.from_units_file(cfg.vocab_file)
+    ckpt_dir = checkpoint or os.path.join(cfg.checkpoint_dir, cfg.exp_name)
+    state, meta = load_checkpoint(ckpt_dir, "best")
+    model_cfg = _model_config_from_meta(meta)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    session = EvalSession(model_cfg, variables, vocab,
+                          decode_type=cfg.decode_type,
+                          beam_width=cfg.beam_width,
+                          lm_path=cfg.lm_path or None,
+                          lm_alpha=cfg.lm_alpha)
+    return session, vocab, model_cfg
+
+
+def cmd_evaluate(args) -> int:
+    from mdd_tpu.evals.evaluate import evaluate_model
+    from mdd_tpu.utils.config import load_config
+
+    cfg = load_config(args.conf)
+    session, vocab, _ = _load_eval_session(cfg, args.checkpoint)
+    loader = _build_loader(cfg, vocab, cfg.test_scp_path,
+                           cfg.test_lab_path, cfg.test_trans_path,
+                           train=False)
+    evaluate_model(session, loader, dump_dir=args.dump_dir)
+    return 0
+
+
+def cmd_infer(args) -> int:
+    from mdd_tpu.frontend.cmvn import parse_kaldi_cmvn_text
+    from mdd_tpu.infer import InferenceEngine
+    from mdd_tpu.lexicon.dictionary import Phonetic
+    from mdd_tpu.utils.config import load_config
+
+    cfg = load_config(args.conf)
+    session, vocab, model_cfg = _load_eval_session(cfg, args.checkpoint)
+    engine = InferenceEngine(
+        model_cfg,
+        session.variables, vocab,
+        cmvn=parse_kaldi_cmvn_text(args.cmvn),
+        phonetic=Phonetic(asset_dir=args.dict_dir),
+        decode_type=cfg.decode_type, beam_width=cfg.beam_width,
+        lm_path=cfg.lm_path or None, lm_alpha=cfg.lm_alpha,
+        left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
+        n_skip_frame=cfg.n_skip_frame, n_downsample=cfg.n_downsample,
+        use_ipa=args.phonetic_format == "ipa")
+    engine.diagnose_dir(args.wav_transcript_path)
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mdd_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    q = sub.add_parser("prepare-timit", help="TIMIT -> data dir")
+    q.add_argument("--timit-dir", required=True)
+    q.add_argument("--out", required=True)
+    q.add_argument("--speakers-file")
+    q.add_argument("--phoneme-map", default="60-41")
+    q.set_defaults(fn=cmd_prepare_timit)
+
+    q = sub.add_parser("prepare-l2arctic", help="L2-ARCTIC -> data dirs")
+    q.add_argument("--l2-dir", required=True)
+    q.add_argument("--out-root", required=True)
+    q.add_argument("--fold-reduced", action="store_true",
+                   help="fold ah0/er0 into ah/er (39-phone recipe)")
+    q.set_defaults(fn=cmd_prepare_l2arctic)
+
+    q = sub.add_parser("merge", help="merge data dirs")
+    q.add_argument("--dirs", nargs="+", required=True)
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=cmd_merge)
+
+    q = sub.add_parser("units", help="build modelling units")
+    q.add_argument("--phn-text", required=True)
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=cmd_units)
+
+    q = sub.add_parser("feat", help="extract fbank features")
+    q.add_argument("--wav-scp", required=True)
+    q.add_argument("--out-dir", required=True)
+    q.add_argument("--name", default="fbank")
+    q.add_argument("--cmvn", help="existing CMVN stats (else trained here)")
+    q.add_argument("--batch-size", type=int, default=16)
+    q.set_defaults(fn=cmd_feat)
+
+    q = sub.add_parser("train-lm", help="train bigram phone LM")
+    q.add_argument("--phn-text", required=True)
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=cmd_train_lm)
+
+    q = sub.add_parser("train", help="train the CTC-attention model")
+    q.add_argument("--conf", required=True)
+    q.set_defaults(fn=cmd_train)
+
+    q = sub.add_parser("evaluate", help="MDD evaluation on the test set")
+    q.add_argument("--conf", required=True)
+    q.add_argument("--checkpoint")
+    q.add_argument("--dump-dir")
+    q.set_defaults(fn=cmd_evaluate)
+
+    q = sub.add_parser("infer", help="single-word diagnosis demo")
+    q.add_argument("--wav-transcript-path", required=True)
+    q.add_argument("--conf", required=True)
+    q.add_argument("--checkpoint")
+    q.add_argument("--cmvn", required=True)
+    q.add_argument("--dict-dir")
+    q.add_argument("--phonetic-format", choices=["cmu", "ipa"],
+                   default="cmu")
+    q.set_defaults(fn=cmd_infer)
+
+    q = sub.add_parser("benchmark", help="training-throughput benchmark")
+    q.set_defaults(fn=cmd_benchmark)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

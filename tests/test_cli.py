@@ -1,0 +1,100 @@
+"""CLI integration test: the whole pipeline end-to-end on real demo
+audio with a tiny model — feat -> units -> train-lm -> train ->
+evaluate -> infer, all through `python -m mdd_tpu` subcommands."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from mdd_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, reference_dir):
+    d = tmp_path_factory.mktemp("cli")
+    demo = reference_dir / "egs" / "vocabulary" / "single"
+    wavs = {f"w{i}": str(demo / f"{i}.wav") for i in (1, 2, 3)}
+    (d / "wav.scp").write_text(
+        "".join(f"{u} {p}\n" for u, p in sorted(wavs.items())))
+    # plausible phone labels for the three demo words
+    labels = {
+        "w1": "v ow k ae b y ah0 l eh r iy",
+        "w2": "g ae dh er0",
+        "w3": "ah0 b aw t",
+    }
+    (d / "phn_text").write_text(
+        "".join(f"{u} {p}\n" for u, p in sorted(labels.items())))
+    (d / "transcript_phn_text").write_text(
+        "".join(f"{u} {p}\n" for u, p in sorted(labels.items())))
+    return d
+
+
+def test_cli_feat_units_lm(workdir):
+    assert main(["feat", "--wav-scp", str(workdir / "wav.scp"),
+                 "--out-dir", str(workdir)]) == 0
+    assert (workdir / "fbank.scp").exists()
+    assert (workdir / "global_fbank_cmvn.txt").exists()
+
+    assert main(["units", "--phn-text", str(workdir / "phn_text"),
+                 "--out", str(workdir / "units")]) == 0
+    units = (workdir / "units").read_text().split()
+    assert "ah0" in units and "er0" in units
+
+    assert main(["train-lm", "--phn-text", str(workdir / "phn_text"),
+                 "--out", str(workdir / "lm.arpa")]) == 0
+    assert (workdir / "lm.arpa").read_text().startswith("\\data\\")
+
+
+@pytest.fixture(scope="module")
+def tiny_conf(workdir):
+    conf = workdir / "conf.yaml"
+    conf.write_text(textwrap.dedent(f"""\
+        exp_name: tiny
+        checkpoint_dir: {workdir}/ckpt
+        vocab_file: {workdir}/units
+        train_scp_path: {workdir}/fbank.scp
+        train_lab_path: {workdir}/phn_text
+        train_trans_path: {workdir}/transcript_phn_text
+        valid_scp_path: {workdir}/fbank.scp
+        valid_lab_path: {workdir}/phn_text
+        valid_trans_path: {workdir}/transcript_phn_text
+        test_scp_path: {workdir}/fbank.scp
+        test_lab_path: {workdir}/phn_text
+        test_trans_path: {workdir}/transcript_phn_text
+        rnn_hidden_size: 32
+        rnn_layers: 2
+        batch_size: 3
+        num_epoches: 2
+        verbose_step: 1
+        max_adjust_times: 1
+        decode_type: Greedy
+        data_parallel: 1
+    """))
+    return conf
+
+
+def test_cli_train_evaluate_infer(workdir, tiny_conf, reference_dir,
+                                  tmp_path, capsys):
+    assert main(["train", "--conf", str(tiny_conf)]) == 0
+    assert (workdir / "ckpt" / "tiny" / "best").exists()
+
+    assert main(["evaluate", "--conf", str(tiny_conf),
+                 "--dump-dir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "Phoneme error rate" in out and "F1 score" in out
+    assert (tmp_path / "decode_seq.log").exists()
+
+    import shutil
+
+    demo = reference_dir / "egs" / "vocabulary" / "single"
+    infer_dir = tmp_path / "words"
+    infer_dir.mkdir()
+    for i in (1, 2):
+        shutil.copy(demo / f"{i}.wav", infer_dir / f"{i}.wav")
+        shutil.copy(demo / f"{i}.txt", infer_dir / f"{i}.txt")
+    assert main(["infer", "--wav-transcript-path", str(infer_dir),
+                 "--conf", str(tiny_conf),
+                 "--cmvn", str(workdir / "global_fbank_cmvn.txt")]) == 0
+    out = capsys.readouterr().out
+    assert "score  :" in out and "RTF" in out
