@@ -49,9 +49,13 @@ def witten_bell_bigram(
     """
     total = sum(c for w, c in counts.uni.items() if w != counts.start)
     vocab = [w for w in counts.uni if w != counts.start]
-    # Unigram MLE over non-<s> tokens (the start symbol gets the
-    # conventional -99 placeholder probability).
-    p_uni = {w: counts.uni[w] / total for w in vocab}
+    # Witten-Bell at the unigram level too: the distinct-type count
+    # reserves mass for <unk> (the committed IRSTLM artifact carries an
+    # <unk> unigram as well — data/lm_phone_bg.arpa has 44 unigrams for
+    # 41 phones).  The start symbol gets the conventional -99 placeholder.
+    n_types = len(vocab)
+    p_uni = {w: counts.uni[w] / (total + n_types) for w in vocab}
+    p_uni["<unk>"] = n_types / (total + n_types)
 
     unigrams: Dict[str, Tuple[float, float]] = {}
     bigrams: Dict[Tuple[str, str], float] = {}
@@ -75,6 +79,7 @@ def witten_bell_bigram(
         log_p = (LOG10_ZERO if w1 == counts.start
                  else math.log10(p_uni[w1]))
         unigrams[w1] = (log_p, math.log10(bow) if bow > 0 else LOG10_ZERO)
+    unigrams["<unk>"] = (math.log10(p_uni["<unk>"]), 0.0)
     return unigrams, bigrams
 
 

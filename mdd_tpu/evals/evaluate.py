@@ -149,6 +149,7 @@ class EvalSession:
         beam_width: int = 10,
         lm_path: Optional[str] = None,
         lm_alpha: float = 0.0,
+        host_beam: bool = False,
     ):
         self.cfg = model_cfg
         self.model = CTCAttentionModel(model_cfg)
@@ -163,10 +164,16 @@ class EvalSession:
             lm = None
             if lm_path:
                 from mdd_tpu.decode.arpa import ArpaBigramLM
-                lm = ArpaBigramLM.from_file(lm_path)
-            self.beam = BeamSearchDecoder(
-                vocab.index2word, beam_width=beam_width, lm=lm,
-                lm_alpha=lm_alpha)
+                lm = ArpaBigramLM(lm_path)
+            if host_beam:
+                self.beam = BeamSearchDecoder(
+                    vocab.index2word, beam_width=beam_width, lm=lm,
+                    lm_alpha=lm_alpha)
+            else:
+                from mdd_tpu.decode.beam_jit import BatchedBeamDecoder
+                self.beam = BatchedBeamDecoder(
+                    vocab.index2word, beam_width=beam_width, lm=lm,
+                    lm_alpha=lm_alpha)
 
     def _forward(self, inputs, fracs, trans, trsizes):
         log_probs = self.model.apply(
