@@ -1,0 +1,80 @@
+"""Native denoiser tests: library build, SNR improvement on synthetic
+noisy speech-band signals, CLI wav round-trip, engine integration."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from mdd_tpu.native import ensure_built, native_available, spectral_denoise
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not ensure_built():
+        pytest.skip("no native toolchain")
+
+
+def _snr(clean, noisy):
+    noise = noisy - clean
+    return 10 * np.log10(np.sum(clean ** 2) / max(np.sum(noise ** 2), 1e-9))
+
+
+def test_denoise_improves_snr():
+    """Stationary white noise around a speech-band tone burst: the NS
+    gain must improve SNR measurably."""
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    clean = np.zeros_like(t, dtype=np.float32)
+    # tone bursts (speech-ish amplitude envelope)
+    for f0, start in [(220.0, 0.5), (440.0, 1.2), (330.0, 2.0)]:
+        seg = (t >= start) & (t < start + 0.4)
+        clean[seg] = (8000 * np.sin(2 * np.pi * f0 * t[seg])
+                      * np.hanning(seg.sum())).astype(np.float32)
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(len(t)).astype(np.float32) * 500
+    noisy = clean + noise
+
+    out = spectral_denoise(noisy, sr, aggressiveness=4)
+    assert out.shape == noisy.shape
+    assert np.isfinite(out).all()
+    snr_before = _snr(clean, noisy)
+    snr_after = _snr(clean, out)
+    assert snr_after > snr_before + 3.0  # at least 3 dB better
+
+
+def test_denoise_preserves_clean_signal():
+    """A clean strong tone should come through mostly intact."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    clean = (10000 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    out = spectral_denoise(clean, sr)
+    # steady-state correlation (skip adaption warmup)
+    c = np.corrcoef(clean[4000:], out[4000:])[0, 1]
+    assert c > 0.95
+
+
+def test_cli_roundtrip(tmp_path, reference_dir):
+    from pathlib import Path
+
+    binary = (Path(__file__).resolve().parents[1] / "native" / "build"
+              / "mdd_denoise")
+    if not binary.exists():
+        pytest.skip("CLI binary missing")
+    src = reference_dir / "egs" / "vocabulary" / "single" / "1.wav"
+    out = tmp_path / "denoised.wav"
+    subprocess.run([str(binary), str(src), str(out), "4"], check=True)
+    from mdd_tpu.frontend.wav import read_wav
+
+    a, sr_a = read_wav(str(src))
+    b, sr_b = read_wav(str(out))
+    assert sr_a == sr_b
+    assert abs(len(a) - len(b)) <= 1
+    assert np.isfinite(b).all()
+
+
+def test_engine_accepts_native_denoiser():
+    assert native_available()
+    x = np.random.default_rng(1).standard_normal(16000).astype(np.float32)
+    y = spectral_denoise(x, 16000)
+    assert y.shape == x.shape
