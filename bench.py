@@ -25,11 +25,11 @@ import numpy as np
 BASELINE_AUDIO_SEC_PER_S = 317.0
 SECONDS_PER_INPUT_FRAME = 0.02  # 10 ms hop x frame-skip 2
 
-BATCH = 64
+BATCH = 512    # saturates the chip; throughput flat beyond ~512
 FRAMES = 160   # ~3.2 s per utterance
 LABEL_LEN = 48
-WARMUP_STEPS = 3
-BENCH_STEPS = 10
+WARMUP_STEPS = 5
+BENCH_STEPS = 30
 
 
 def main() -> None:

@@ -19,7 +19,7 @@ Correct/Error-Diagnosis, FAR/FRR/DER metrics.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from mdd_tpu.align.levenshtein import kaldi_alignment, alignment_ops
 
@@ -122,6 +122,71 @@ class HierarchicalMdd:
             "DER: %.4f" % self.der,
         ]
         return "\n".join(lines)
+
+
+def write_per_utt_details(
+    ref: Dict[str, Sequence[str]],
+    hyp: Dict[str, Sequence[str]],
+    path: str,
+) -> None:
+    """Emit Kaldi align-text | wer_per_utt_details.pl output.
+
+    Four aligned rows per utterance (utils/scoring/
+    wer_per_utt_details.pl:126-129, format example :171-174):
+
+      UTT ref  a    <eps> b  ...
+      UTT hyp  a    a     c  ...
+      UTT op   C    I     S  ...
+      UTT #csid <C> <S> <I> <D>
+    """
+    with open(path, "w", encoding="utf-8") as f:
+        for utt in ref:
+            if utt not in hyp:
+                continue
+            pairs = kaldi_alignment(ref[utt], hyp[utt])
+            ops = alignment_ops(pairs)
+            widths = [max(len(str(a)), len(str(b)), 1) for a, b in pairs]
+            ref_row = "  ".join(str(a).ljust(w)
+                                for (a, _), w in zip(pairs, widths))
+            hyp_row = "  ".join(str(b).ljust(w)
+                                for (_, b), w in zip(pairs, widths))
+            op_row = "  ".join(o.center(w) for o, w in zip(ops, widths))
+            c = ops.count("C")
+            s = ops.count("S")
+            i = ops.count("I")
+            d = ops.count("D")
+            f.write(f"{utt} ref  {ref_row}\n")
+            f.write(f"{utt} hyp  {hyp_row}\n")
+            f.write(f"{utt} op   {op_row}\n")
+            f.write(f"{utt} #csid {c} {s} {i} {d}\n")
+
+
+def mdd_result(
+    ref: Dict[str, Sequence[str]],
+    human: Dict[str, Sequence[str]],
+    hyp: Dict[str, Sequence[str]],
+    out_dir: Optional[str] = None,
+    log=print,
+) -> "HierarchicalMdd":
+    """The full mdd_result.sh pipeline in-process (result/mdd_result.sh:
+    6-13): compute-wer PER report + three-way hierarchical analysis,
+    with optional Kaldi-format detail-file emission."""
+    from mdd_tpu.evals.wer import corpus_wer, format_per_report
+
+    log(format_per_report(corpus_wer(human, hyp)))
+    if out_dir is not None:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        write_per_utt_details(ref, human,
+                              os.path.join(out_dir, "ref_human_detail"))
+        write_per_utt_details(human, hyp,
+                              os.path.join(out_dir, "human_our_detail"))
+        write_per_utt_details(ref, hyp,
+                              os.path.join(out_dir, "ref_our_detail"))
+    m = hierarchical_mdd_analysis(ref, human, hyp)
+    log(m.report())
+    return m
 
 
 def hierarchical_mdd_analysis(
