@@ -37,7 +37,10 @@ def _model_config_from_meta(meta: dict):
 
 
 def _build_loader(cfg, vocab, scp, lab, trans, train: bool):
+    import jax
+
     from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
+    from mdd_tpu.data.prefetch import ThreadedLoader
 
     ds = SpeechDataset(
         vocab, scp, lab, trans,
@@ -45,8 +48,14 @@ def _build_loader(cfg, vocab, scp, lab, trans, train: bool):
         n_skip_frame=cfg.n_skip_frame, n_downsample=cfg.n_downsample,
         train=train, augment_mode=cfg.augment_mode,
         mutation_prob=cfg.mutation_prob)
-    return BucketedLoader(ds, cfg.batch_size,
-                          shuffle=train and cfg.shuffle_train, seed=cfg.seed)
+    loader = BucketedLoader(ds, cfg.batch_size,
+                            shuffle=train and cfg.shuffle_train,
+                            seed=cfg.seed, num_workers=cfg.num_workers,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
+    if cfg.num_workers > 0:
+        loader = ThreadedLoader(loader, prefetch=4)
+    return loader
 
 
 def cmd_prepare_timit(args) -> int:

@@ -138,6 +138,9 @@ class BucketedLoader:
         time_quantum: int = 64,
         label_quantum: int = 16,
         drop_last: bool = False,
+        num_workers: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -146,18 +149,38 @@ class BucketedLoader:
         self.time_quantum = time_quantum
         self.label_quantum = label_quantum
         self.drop_last = drop_last
+        self.num_workers = num_workers
         self._epoch = 0
-        # Sort once by (approximate) length for bucketing: read frame
-        # counts lazily from the first batch pass is wasteful; instead we
-        # bucket by actual loaded lengths within a shuffled window.
-        self._order = np.arange(len(dataset))
+        # Multi-host DP: each host iterates a deterministic, equal-length
+        # shard of the utterance list (SURVEY.md §7 hard part 6).
+        from mdd_tpu.data.prefetch import shard_for_host
+
+        self._order = np.asarray(shard_for_host(
+            list(range(len(dataset))), process_index, process_count))
 
     def __len__(self) -> int:
-        n = len(self.ds)
+        n = len(self._order)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _load_many(self, indices, epoch: int):
+        """Load items, each with its own deterministic rng stream — safe
+        under thread-pool execution and independent of worker count."""
+
+        def load(i):
+            rng = (np.random.default_rng((self.seed + epoch, int(i)))
+                   if self.ds.train else None)
+            return self.ds.load_item(int(i), rng)
+
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                return list(pool.map(load, indices))
+        return [load(i) for i in indices]
+
     def __iter__(self) -> Iterator[Batch]:
-        rng = np.random.default_rng(self.seed + self._epoch)
+        epoch = self._epoch
+        rng = np.random.default_rng(self.seed + epoch)
         self._epoch += 1
         order = np.array(self._order)
         if self.shuffle:
@@ -171,8 +194,7 @@ class BucketedLoader:
 
         for wstart in range(0, len(order), window):
             widx = order[wstart:wstart + window]
-            loaded = [self.ds.load_item(i, rng if self.ds.train else None)
-                      for i in widx]
+            loaded = self._load_many(widx, epoch)
             loaded.sort(key=lambda it: it[0].shape[0])
             for bstart in range(0, len(loaded), self.batch_size):
                 chunk = loaded[bstart:bstart + self.batch_size]

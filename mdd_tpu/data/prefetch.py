@@ -1,0 +1,84 @@
+"""Input-pipeline concurrency: threaded batch prefetch + host sharding.
+
+The reference hides input latency behind torch DataLoader workers
+(data_loader.py:189-192).  Our equivalents, built for the JAX dispatch
+model (device work is async; the host-side ark reads / splicing /
+padding are the serial part):
+
+  * ThreadedLoader — a producer thread runs the underlying loader and
+    keeps a bounded queue of ready batches ahead of the training step;
+  * parallel item loading inside the producer via a thread pool (ark
+    reads release the GIL in numpy/file IO);
+  * shard_for_host — deterministic per-host partition of an utterance
+    list for multi-host DP (SURVEY.md §7 hard part 6: equal batch
+    counts per host, padding the remainder).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, List, Sequence, TypeVar
+
+T = TypeVar("T")
+
+_SENTINEL = object()
+
+
+class ThreadedLoader:
+    """Wrap any batch iterable with a producer thread + bounded queue.
+
+    Each __iter__ starts a fresh producer (so epochs work naturally).
+    Exceptions in the producer propagate to the consumer.
+    """
+
+    def __init__(self, loader: Iterable, prefetch: int = 4):
+        self.loader = loader
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return len(self.loader)  # type: ignore[arg-type]
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        err: List[BaseException] = []
+
+        def produce() -> None:
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # noqa: BLE001 — propagate to consumer
+                err.append(e)
+            finally:
+                q.put(_SENTINEL)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+def shard_for_host(
+    items: Sequence[T],
+    process_index: int,
+    process_count: int,
+) -> List[T]:
+    """Deterministic per-host shard with equal lengths.
+
+    Every host receives ceil(N / process_count) items; the tail wraps
+    around to the beginning so all hosts iterate the same number of
+    batches (required for collective-synchronized training — 897/900-utt
+    eval sets don't divide evenly, SURVEY.md §7).
+    """
+    if process_count <= 1:
+        return list(items)
+    n = len(items)
+    per_host = -(-n // process_count)
+    start = process_index * per_host
+    out = [items[(start + i) % n] for i in range(per_host)]
+    return out
