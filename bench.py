@@ -37,7 +37,10 @@ def main() -> None:
     from mdd_tpu.models.ctc_model import ModelConfig
     from mdd_tpu.train.loop import Trainer
 
-    cfg = ModelConfig(compute_dtype="bfloat16")
+    import jax
+
+    cfg = ModelConfig(compute_dtype="bfloat16",
+                      use_pallas_lstm=jax.default_backend() == "tpu")
     trainer = Trainer(cfg, sample_t=FRAMES, sample_l=LABEL_LEN)
     n_chips = trainer.mesh.devices.size
 

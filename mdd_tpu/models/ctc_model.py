@@ -52,6 +52,9 @@ class ModelConfig:
     text_vocab_size: int = 45          # >= num_class (reference hardcodes 44)
     dropout: float = 0.2
     compute_dtype: str = "float32"     # "bfloat16" for throughput runs
+    use_pallas_lstm: bool = False      # fused Pallas recurrence (ops/lstm_pallas.py):
+    # bit-identical forward, hand-written backward kernel ~1.7x faster
+    # than scan autodiff on TPU
 
     @property
     def time_downsample(self) -> int:
@@ -87,6 +90,7 @@ class BiLstmLayer(nn.Module):
     use_bias: bool = False
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -114,7 +118,11 @@ class BiLstmLayer(nn.Module):
         if self.use_bias:
             b_f = w("b_fwd", (4 * h,))
             b_b = w("b_bwd", (4 * h,))
-        y = bilstm(x.swapaxes(0, 1), w_ih_f, w_hh_f, w_ih_b, w_hh_b, b_f, b_b)
+        rnn = bilstm
+        if self.use_pallas:
+            from mdd_tpu.ops.lstm_pallas import bilstm_pallas
+            rnn = bilstm_pallas
+        y = rnn(x.swapaxes(0, 1), w_ih_f, w_hh_f, w_ih_b, w_hh_b, b_f, b_b)
         y = y.swapaxes(0, 1)  # (B, T, 2H)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         return y
@@ -193,6 +201,7 @@ class CTCAttentionModel(nn.Module):
         for i in range(cfg.rnn_layers):
             x = BiLstmLayer(cfg.rnn_hidden_size, use_batch_norm=(i > 0),
                             use_bias=False, dropout=cfg.dropout, dtype=dtype,
+                            use_pallas=cfg.use_pallas_lstm,
                             name=f"rnn{i}")(x, train)
         # x: (B, T', 768)
 

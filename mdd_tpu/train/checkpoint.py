@@ -32,6 +32,8 @@ def save_checkpoint(
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = ocp.StandardCheckpointer()
     state = {"params": _to_host(params), "batch_stats": _to_host(batch_stats)}
+    if opt_state is not None:
+        state["opt_state"] = _to_host(opt_state)
     if os.path.exists(path):
         import shutil
 

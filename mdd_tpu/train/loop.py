@@ -247,9 +247,18 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         exp_name: str = "default",
         log=print,
+        resume: bool = False,
     ) -> Dict[str, Any]:
         sched = self.scheduler
         epoch = 0
+        if resume and checkpoint_dir:
+            import os
+
+            if os.path.exists(os.path.join(checkpoint_dir, exp_name,
+                                           "latest")):
+                epoch = self.restore(checkpoint_dir, exp_name, "latest")
+                log(f"resumed from epoch {epoch} "
+                    f"(lr {sched.learning_rate:.5f})")
         start = time.time()
         while not sched.stopped and epoch < num_epochs:
             epoch += 1
@@ -302,8 +311,42 @@ class Trainer:
             "dev_loss_results": self.dev_loss_results,
             "dev_acc_results": self.dev_acc_results,
             "learning_rate": self.scheduler.learning_rate,
+            "scheduler": dataclasses.asdict(self.scheduler),
         }
         import os
 
         return save_checkpoint(os.path.join(directory, exp_name), tag,
-                               host.params, host.batch_stats, meta)
+                               host.params, host.batch_stats, meta,
+                               opt_state=host.opt_state if tag == "latest"
+                               else None)
+
+    def restore(self, directory: str, exp_name: str,
+                tag: str = "latest") -> int:
+        """Resume from a saved checkpoint (no reference equivalent — the
+        reference only saves the final best model, SURVEY.md §5).
+
+        Restores params / batch_stats / optimizer state / scheduler /
+        loss histories.  Returns the epoch to continue from.
+        """
+        import os
+
+        from mdd_tpu.train.checkpoint import load_checkpoint
+
+        host = self._host_state()
+        target = {"params": host.params, "batch_stats": host.batch_stats}
+        if tag == "latest":
+            target["opt_state"] = host.opt_state
+        state, meta = load_checkpoint(
+            os.path.join(directory, exp_name), tag, target=target)
+        new = host.replace(
+            params=state["params"], batch_stats=state["batch_stats"],
+            opt_state=state.get("opt_state", host.opt_state))
+        self.state = jax.device_put(new, replicated(self.mesh))
+        sched = meta.get("scheduler", {})
+        for k, v in sched.items():
+            if hasattr(self.scheduler, k):
+                setattr(self.scheduler, k, v)
+        self.loss_results = list(meta.get("loss_results", []))
+        self.dev_loss_results = list(meta.get("dev_loss_results", []))
+        self.dev_acc_results = list(meta.get("dev_acc_results", []))
+        return int(meta.get("epoch", 0))
