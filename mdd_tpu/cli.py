@@ -202,7 +202,9 @@ def cmd_infer(args) -> int:
         left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
         n_skip_frame=cfg.n_skip_frame, n_downsample=cfg.n_downsample,
         use_ipa=args.phonetic_format == "ipa")
-    engine.diagnose_dir(args.wav_transcript_path)
+    engine.diagnose_dir(args.wav_transcript_path,
+                        textgrid_dir=args.textgrid_path,
+                        decode_dump=args.decode_dump)
     return 0
 
 
@@ -272,6 +274,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--dict-dir")
     q.add_argument("--phonetic-format", choices=["cmu", "ipa"],
                    default="cmu")
+    q.add_argument("--textgrid-path",
+                   help="canonical phones from N.TextGrid files instead "
+                        "of G2P (reference --phonetic transcript mode)")
+    q.add_argument("--decode-dump", help="write decode_seq.txt here")
     q.set_defaults(fn=cmd_infer)
 
     q = sub.add_parser("benchmark", help="training-throughput benchmark")

@@ -44,6 +44,25 @@ from mdd_tpu.lexicon.dictionary import CMU_TO_IPA_WIKI, Phonetic
 from mdd_tpu.models.ctc_model import ModelConfig
 
 
+def read_phonemes_from_textgrid(path: str) -> List[str]:
+    """Canonical phones from a TextGrid (the `--phonetic transcript`
+    mode, infer.py:374-403).
+
+    NOTE: the reference function is broken — an indentation slip puts
+    all its normalization inside the empty-mark branch, so every
+    non-empty mark is dropped and empty marks emit "sil" twice.  We
+    implement the evident intent: strip stress digits, fold reduced
+    vowels (AX/AH0 -> ah, ER0 -> er — this path uses the 39-phone set),
+    map silence/error tokens, lowercase.
+    """
+    from mdd_tpu.data.textgrid import TextGrid
+    from mdd_tpu.lexicon.phones import normalize_canonical_phone
+
+    tg = TextGrid.fromFile(path)
+    return [normalize_canonical_phone(iv.mark or "", keep_reduced=False)
+            for iv in tg[1]]
+
+
 @dataclasses.dataclass
 class WordDiagnosis:
     utt_id: str
@@ -214,16 +233,30 @@ class InferenceEngine:
             substitution_faults=sub_f, deletion_faults=del_f,
             correct=correct, total=total, score=score)
 
-    def diagnose_dir(self, wav_dir: str, log=print) -> List[WordDiagnosis]:
+    def diagnose_dir(self, wav_dir: str, log=print,
+                     textgrid_dir: Optional[str] = None,
+                     decode_dump: Optional[str] = None
+                     ) -> List[WordDiagnosis]:
         """The reference demo flow over a directory of N.wav + N.txt pairs
-        (infer.py:486-597), with the per-stage RTF breakdown report."""
+        (infer.py:486-597), with the per-stage RTF breakdown report.
+
+        With `textgrid_dir`, canonical phones come from N.TextGrid files
+        instead of G2P (the reference's `--phonetic transcript` mode);
+        `decode_dump` writes the decode_seq.txt file (infer.py:286,370).
+        """
         t0 = time.time()
         d = Path(wav_dir)
-        items: List[Tuple[str, np.ndarray, str]] = []
+        items: List[Tuple[str, np.ndarray, str, Optional[List[str]]]] = []
         total_audio = 0.0
         for p in sorted(d.iterdir(), key=lambda q: q.name):
             if p.suffix != ".wav":
                 continue
+            canonical = None
+            if textgrid_dir is not None:
+                tg = Path(textgrid_dir) / (p.stem + ".TextGrid")
+                if not tg.exists():
+                    continue
+                canonical = read_phonemes_from_textgrid(str(tg))
             txt = p.with_suffix(".txt")
             if not txt.exists():
                 continue
@@ -233,14 +266,20 @@ class InferenceEngine:
                     f"{self.max_wav_seconds:.0f}s limit")
                 continue
             total_audio += len(wav) / 16000.0
-            items.append((p.stem, wav, txt.read_text().strip()))
+            items.append((p.stem, wav, txt.read_text().strip(), canonical))
         t1 = time.time()
 
         results = []
-        for utt, wav, word in items:
-            diag = self.diagnose_word(utt, wav, word)
+        dump = open(decode_dump, "w") if decode_dump else None
+        for utt, wav, word, canonical in items:
+            diag = self.diagnose_word(utt, wav, word, canonical)
             log(diag.render())
             results.append(diag)
+            if dump is not None:
+                decoded = diag.decoded_row.split(":", 1)[1].split()
+                dump.write(f"{utt} {' '.join(decoded)}\n")
+        if dump is not None:
+            dump.close()
         t2 = time.time()
 
         if total_audio > 0:

@@ -83,3 +83,72 @@ def test_fault_lists_and_rows():
     can_row, ops_row, dec_row = _aligned_rows(dec, can, ops2)
     assert can_row.startswith("canonical :")
     assert len(can_row) == len(dec_row)
+
+
+def test_read_phonemes_from_textgrid(tmp_path):
+    import textwrap
+
+    from mdd_tpu.infer import read_phonemes_from_textgrid
+
+    tg = textwrap.dedent('''\
+        File type = "ooTextFile"
+        Object class = "TextGrid"
+
+        xmin = 0
+        xmax = 1.0
+        tiers? <exists>
+        size = 2
+        item []:
+            item [1]:
+                class = "IntervalTier"
+                name = "words"
+                xmin = 0
+                xmax = 1.0
+                intervals: size = 1
+                intervals [1]:
+                    xmin = 0
+                    xmax = 1.0
+                    text = "x"
+            item [2]:
+                class = "IntervalTier"
+                name = "phones"
+                xmin = 0
+                xmax = 1.0
+                intervals: size = 4
+                intervals [1]:
+                    xmin = 0
+                    xmax = 0.2
+                    text = ""
+                intervals [2]:
+                    xmin = 0.2
+                    xmax = 0.5
+                    text = "AH0"
+                intervals [3]:
+                    xmin = 0.5
+                    xmax = 0.8
+                    text = "ER0"
+                intervals [4]:
+                    xmin = 0.8
+                    xmax = 1.0
+                    text = "K1"
+    ''')
+    p = tmp_path / "w.TextGrid"
+    p.write_text(tg)
+    # 39-phone folding: AH0 -> ah, ER0 -> er (reference's intent; its
+    # own implementation is broken — see read_phonemes_from_textgrid doc)
+    assert read_phonemes_from_textgrid(str(p)) == ["sil", "ah", "er", "k"]
+
+
+def test_diagnose_dir_transcript_mode_and_dump(engine, reference_dir,
+                                               tmp_path):
+    import shutil
+
+    src = reference_dir / "egs" / "vocabulary" / "single"
+    shutil.copy(src / "1.wav", tmp_path / "1.wav")
+    shutil.copy(src / "1.txt", tmp_path / "1.txt")
+    dump = tmp_path / "decode_seq.txt"
+    results = engine.diagnose_dir(str(tmp_path), log=lambda *_: None,
+                                  decode_dump=str(dump))
+    assert len(results) == 1
+    lines = dump.read_text().splitlines()
+    assert len(lines) == 1 and lines[0].startswith("1")
