@@ -406,6 +406,26 @@ class Phonetic:
             self.api_word_phones_cmu(word).split(" "))
         return [CMU_TO_IPA_WIKI.get(p, p) for p in phones if p]
 
+    def api_word_phrase_tts(self, text: str, accent: str = "Default",
+                            speed: float = 0.7,
+                            out_dir: str = ".") -> Optional[str]:
+        """Text-to-speech via melo when importable (reference
+        phonetic_dict.py:504-552 — unused by the demo there too).
+        Returns the wav path, or None when the backend is unavailable."""
+        assert accent in ("Default", "US", "BR", "AU", "IN")
+        try:
+            from melo.api import TTS  # optional heavy dependency
+        except Exception:
+            warnings.warn("melo TTS backend unavailable; skipping TTS")
+            return None
+        model = TTS(language="EN", device="cpu")
+        speaker_ids = model.hps.data.spk2id
+        naming = "_".join(p.lower() for p in text.strip().split(" ")[:3])
+        out = os.path.join(out_dir, f"{naming}.wav")
+        model.tts_to_file(text.strip(), speaker_ids[f"EN-{accent}"], out,
+                          speed=speed)
+        return out
+
     def api_word_translation(self, word: str) -> str:
         """Chinese translation from ECDICT, filtered to headline word
         classes (reference :191-238); '' when unavailable."""

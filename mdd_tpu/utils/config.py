@@ -72,6 +72,7 @@ class Config:
     output_class_dim: int = 0
     use_text_attention: bool = True
     compute_dtype: str = "float32"
+    use_pallas_lstm: bool = False
 
     # training
     use_gpu: bool = True          # accepted for compat; device = jax default
@@ -115,6 +116,7 @@ class Config:
             text_vocab_size=max(45, num_class + 2),
             dropout=self.drop_out,
             compute_dtype=self.compute_dtype,
+            use_pallas_lstm=self.use_pallas_lstm,
         )
 
 
