@@ -63,6 +63,29 @@ def compute_spectrogram(
     return out
 
 
+def mel_warp(spec, sample_rate: int = 16000, window_size: float = 0.025):
+    """Resample a linear-frequency log spectrogram onto the mel scale by
+    linear interpolation between fft bins (reference utils/tools.F_Mel
+  :184-205, librosa.mel_frequencies semantics), vectorized.
+
+    Args: spec (T, n_bins).  Returns (T, n_bins) mel-warped.
+    """
+    spec = jnp.asarray(spec)
+    n_mels = spec.shape[1]
+    fmax = sample_rate / 2.0
+    # librosa mel_frequencies: mel-spaced points converted back to Hz
+    min_mel = 0.0
+    max_mel = 2595.0 * np.log10(1.0 + fmax / 700.0)
+    mels = np.linspace(min_mel, max_mel, n_mels)
+    freqs = 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+    mel_bin = freqs * window_size           # fractional fft-bin index
+    left = np.floor(mel_bin).astype(np.int32)
+    right = np.clip(left + 1, 0, n_mels - 1)
+    frac = jnp.asarray((mel_bin - left).astype(np.float32))
+    left = np.clip(left, 0, n_mels - 1)
+    return (spec[:, right] - spec[:, left]) * frac[None, :] + spec[:, left]
+
+
 def make_spectrum(wav_scp: str, ark_file: str, scp_file: str,
                   log=print) -> int:
     """wav.scp -> normalized spectrogram ark/scp (make_spectrum.py CLI

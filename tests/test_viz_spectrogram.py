@@ -58,3 +58,36 @@ def test_visualize_utterance(tmp_path):
 
     for p in paths:
         assert os.path.getsize(p) > 1000
+
+
+def test_mel_warp_matches_reference_interpolation():
+    """mel_warp == the reference's per-frame linear interpolation loop."""
+    import math
+
+    import numpy as np
+
+    from mdd_tpu.frontend.spectrogram import mel_warp
+
+    rng = np.random.default_rng(0)
+    # 201 bins: the shape F_Mel actually sees (librosa stft n_fft=400).
+    # NOTE: the reference loop itself would IndexError at the very top
+    # bin (mel_bin[-1] == n-1 + eps -> frame[n]); we clip instead.
+    t, n = 5, 201
+    spec = rng.standard_normal((t, n)).astype(np.float32)
+
+    # reference F_Mel loop (tools.py:184-205), librosa-free re-derivation
+    fmax = 8000.0
+    max_mel = 2595.0 * math.log10(1.0 + fmax / 700.0)
+    mels = np.linspace(0.0, max_mel, n)
+    freqs = 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+    mel_bin = freqs * 0.025
+    want = np.zeros_like(spec)
+    for ti in range(t):
+        for i in range(n):
+            left = min(int(math.floor(mel_bin[i])), n - 1)
+            right = min(left + 1, n - 1)
+            want[ti, i] = ((spec[ti, right] - spec[ti, left])
+                           * (mel_bin[i] - left) + spec[ti, left])
+
+    got = np.asarray(mel_warp(spec))
+    np.testing.assert_allclose(got, want, atol=1e-5)
