@@ -51,6 +51,8 @@ def _build_loader(cfg, vocab, scp, lab, trans, train: bool):
     loader = BucketedLoader(ds, cfg.batch_size,
                             shuffle=train and cfg.shuffle_train,
                             seed=cfg.seed, num_workers=cfg.num_workers,
+                            time_quantum=cfg.time_quantum,
+                            label_quantum=cfg.label_quantum,
                             process_index=jax.process_index(),
                             process_count=jax.process_count())
     if cfg.num_workers > 0:

@@ -31,7 +31,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B_TILE = 64
+B_TILE = 64        # forward tile
+B_TILE_BWD = 32    # backward needs ~2x the live blocks (saved activations,
+                   # dW accumulator) — smaller tile keeps it under the
+                   # 16 MB VMEM budget
 
 
 def _interpret() -> bool:
@@ -179,13 +182,13 @@ def _bwd_kernel(xp_ref, whh_ref, cs_ref, hprev_ref, cprev_ref,
 
 
 def _lstm_seq_bwd(x_proj, w_hh, hs, cs, dhs):
-    x_proj, b_orig = _pad_batch(x_proj, B_TILE)
-    hs, _ = _pad_batch(hs, B_TILE)
-    cs, _ = _pad_batch(cs, B_TILE)
-    dhs, _ = _pad_batch(dhs.astype(jnp.float32), B_TILE)
+    x_proj, b_orig = _pad_batch(x_proj, B_TILE_BWD)
+    hs, _ = _pad_batch(hs, B_TILE_BWD)
+    cs, _ = _pad_batch(cs, B_TILE_BWD)
+    dhs, _ = _pad_batch(dhs.astype(jnp.float32), B_TILE_BWD)
     t, d, b, four_h = x_proj.shape
     h = four_h // 4
-    nb = b // B_TILE
+    nb = b // B_TILE_BWD
     # h_{t-1}, c_{t-1} sequences (zeros at t=0)
     hprev = jnp.concatenate([jnp.zeros((1, d, b, h), hs.dtype), hs[:-1]])
     cprev = jnp.concatenate([jnp.zeros((1, d, b, h), cs.dtype), cs[:-1]])
@@ -195,16 +198,16 @@ def _lstm_seq_bwd(x_proj, w_hh, hs, cs, dhs):
         _bwd_kernel,
         grid=(nb, t),
         in_specs=[
-            pl.BlockSpec((1, d, B_TILE, four_h), rev,
+            pl.BlockSpec((1, d, B_TILE_BWD, four_h), rev,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, B_TILE, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, B_TILE, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, B_TILE, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, B_TILE, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, B_TILE_BWD, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, B_TILE_BWD, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, B_TILE_BWD, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, B_TILE_BWD, h), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, d, B_TILE, four_h), rev,
+            pl.BlockSpec((1, d, B_TILE_BWD, four_h), rev,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
@@ -213,8 +216,8 @@ def _lstm_seq_bwd(x_proj, w_hh, hs, cs, dhs):
             jax.ShapeDtypeStruct((d, h, four_h), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((d, B_TILE, h), jnp.float32),
-            pltpu.VMEM((d, B_TILE, h), jnp.float32),
+            pltpu.VMEM((d, B_TILE_BWD, h), jnp.float32),
+            pltpu.VMEM((d, B_TILE_BWD, h), jnp.float32),
             pltpu.VMEM((d, h, four_h), jnp.float32),
         ],
         interpret=_interpret(),

@@ -88,6 +88,8 @@ class Config:
     augment_mode: int = 2
     mutation_prob: float = 0.1
     num_buckets: int = 8
+    time_quantum: int = 64      # pad batch time axis to a multiple of this
+    label_quantum: int = 16     # pad label axes to a multiple of this
 
     # decoding
     decode_type: str = "Beam"     # reference quirk: anything != 'Greedy' -> Beam
