@@ -39,6 +39,10 @@ class ThreadedLoader:
     def __len__(self) -> int:
         return len(self.loader)  # type: ignore[arg-type]
 
+    @property
+    def batch_size(self):
+        return getattr(self.loader, "batch_size", None)
+
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         err: List[BaseException] = []

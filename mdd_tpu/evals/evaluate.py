@@ -209,9 +209,16 @@ def evaluate_model(
     vocab = session.vocab
     triples = []
     start = time.time()
+    batch_size = getattr(loader, "batch_size", None)
     for batch in loader:
+        valid = np.ones(batch.size, bool)
+        if batch_size and batch.size < batch_size:
+            # pad the ragged tail batch so XLA sees one batch shape
+            batch, valid = pad_batch_to(batch, batch_size)
         decoded, _ = session.decode_batch(batch)
         for i, utt in enumerate(batch.utt_ids):
+            if not valid[i]:
+                continue
             label = vocab.decode(
                 batch.targets[i][: batch.target_sizes[i]])
             canonical = vocab.decode(
