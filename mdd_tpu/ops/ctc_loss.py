@@ -52,6 +52,11 @@ def ctc_loss(
     pos = jnp.arange(s)[None, :]                               # (1, S)
     valid_s = pos < (2 * label_lengths[:, None] + 1)           # (B, S)
 
+    # Emission lookup as a batched matvec instead of a (B, S) gather:
+    # gathers serialize on the TPU VPU; one_hot @ lp_t runs on the MXU.
+    c = log_probs.shape[2]
+    ext_onehot = jax.nn.one_hot(ext, c, dtype=log_probs.dtype)  # (B, S, C)
+
     # Skip-transition allowed where ext[s] != blank and ext[s] != ext[s-2].
     ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank)[:, :s]
     can_skip = (ext != blank) & (ext != ext_m2) & (pos >= 2)
@@ -74,7 +79,7 @@ def ctc_loss(
         m = jnp.max(stacked, axis=0)
         summed = m + jnp.log(jnp.sum(jnp.exp(stacked - m[None]), axis=0))
         summed = jnp.where(m <= LOG_EPS / 2, LOG_EPS, summed)
-        emit = lp_t[batch_idx[:, None], ext]                   # (B, S)
+        emit = jnp.einsum("bsc,bc->bs", ext_onehot, lp_t)      # (B, S)
         new_alpha = jnp.where(valid_s, summed + emit, LOG_EPS)
         # Freeze alpha for samples whose input already ended.
         new_alpha = jnp.where((t < input_lengths)[:, None], new_alpha, alpha)
