@@ -8,7 +8,7 @@ import numpy as np
 import optax
 import pytest
 
-from mdd_tpu.ops.ctc_loss import ctc_loss, ctc_loss_sum_mean
+from mdd_tpu.ops.ctc_loss import ctc_loss, ctc_loss_scan, ctc_loss_sum_mean
 
 
 def brute_force_ctc_nll(log_probs, label, blank=0):
@@ -83,6 +83,47 @@ def test_ctc_gradients_flow_and_match_optax():
     g1 = jax.grad(ours_fn)(logits)
     g2 = jax.grad(optax_fn)(logits)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_custom_vjp_matches_scan_autodiff(seed):
+    """The analytic alpha-beta gradient must equal autodiff through the
+    forward scan — incl. ragged input/label lengths and zero-length
+    labels."""
+    rng = np.random.default_rng(seed)
+    t, b, c, l = 15, 5, 7, 5
+    logits = jnp.asarray(rng.standard_normal((t, b, c)).astype(np.float32) * 2)
+    input_lengths = jnp.asarray([15, 11, 15, 3, 1])
+    labels = jnp.asarray(rng.integers(1, c, size=(b, l)), dtype=jnp.int32)
+    # include a repeated label (skip-blocked) and a zero-length label
+    labels = labels.at[2, 1].set(labels[2, 0])
+    label_lengths = jnp.asarray([5, 3, 4, 1, 0])
+    cot = jnp.asarray(rng.standard_normal(b).astype(np.float32))
+
+    def make(fn):
+        def f(lg):
+            lp = jax.nn.log_softmax(lg, axis=-1)
+            return jnp.sum(cot * fn(lp, input_lengths, labels, label_lengths))
+        return f
+
+    l1, g1 = jax.value_and_grad(make(ctc_loss))(logits)
+    l2, g2 = jax.value_and_grad(make(ctc_loss_scan))(logits)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_custom_vjp_impossible_label_grad_is_zero():
+    logits = jnp.zeros((2, 1, 4))
+
+    def f(lg):
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        return jnp.sum(ctc_loss(lp, jnp.asarray([2]),
+                                jnp.asarray([[1, 2, 3]]), jnp.asarray([3])))
+
+    g = jax.grad(f)(logits)
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(np.asarray(g), 0.0)
 
 
 def test_ctc_impossible_label_is_large():
