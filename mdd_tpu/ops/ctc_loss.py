@@ -143,6 +143,14 @@ def _beta_scan(log_probs, input_lengths, label_lengths, valid_s, ext_onehot,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ctc_loss_vjp(log_probs, input_lengths, labels, label_lengths, blank):
+    ext, valid_s, ext_onehot, can_skip = _prep(
+        log_probs, labels, label_lengths, blank)
+    _, nll = _alpha_scan(log_probs, input_lengths, label_lengths, ext,
+                         valid_s, ext_onehot, can_skip)
+    return nll
+
+
 def ctc_loss(
     log_probs: jnp.ndarray,
     input_lengths: jnp.ndarray,
@@ -159,15 +167,19 @@ def ctc_loss(
       label_lengths: (B,) valid label counts (<= L).
     Returns:
       (B,) negative log likelihoods.
+
+    Thin wrapper so `blank` always reaches the custom_vjp positionally:
+    jax.custom_vjp does not apply Python defaults when binding
+    nondiff_argnums, so a 4-positional-arg call would shift every operand
+    by one inside fwd/bwd.
     """
-    ext, valid_s, ext_onehot, can_skip = _prep(
-        log_probs, labels, label_lengths, blank)
-    _, nll = _alpha_scan(log_probs, input_lengths, label_lengths, ext,
-                         valid_s, ext_onehot, can_skip)
-    return nll
+    return _ctc_loss_vjp(log_probs, input_lengths, labels, label_lengths,
+                         int(blank))
 
 
-def _ctc_fwd(blank, log_probs, input_lengths, labels, label_lengths):
+def _ctc_fwd(log_probs, input_lengths, labels, label_lengths, blank):
+    # NB: under jax>=0.9 custom_vjp passes nondiff_argnums to fwd at their
+    # ORIGINAL positions (bwd still receives them leading).
     ext, valid_s, ext_onehot, can_skip = _prep(
         log_probs, labels, label_lengths, blank)
     alphas, nll = _alpha_scan(log_probs, input_lengths, label_lengths, ext,
@@ -201,7 +213,7 @@ def _ctc_bwd(blank, res, g):
             zero_int(labels), zero_int(label_lengths))
 
 
-ctc_loss.defvjp(_ctc_fwd, _ctc_bwd)
+_ctc_loss_vjp.defvjp(_ctc_fwd, _ctc_bwd)
 
 
 def ctc_loss_scan(
