@@ -13,6 +13,7 @@ CLI:
   python -m mdd_tpu train            --conf YAML
   python -m mdd_tpu evaluate         --conf YAML [--dump-dir DIR]
   python -m mdd_tpu infer            --wav-transcript-path DIR --conf YAML
+  python -m mdd_tpu mdd-result       --ref F --human F --hyp F
   python -m mdd_tpu benchmark
 """
 
@@ -210,6 +211,19 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_mdd_result(args) -> int:
+    """Score decode dumps: the result/mdd_result.sh:6-13 pipeline
+    (compute-wer PER report + 3-way hierarchical MDD analysis) over trn
+    files as produced by `evaluate --dump-dir` or the reference's
+    committed result/{ref,human_seq,hyp}."""
+    from mdd_tpu.evals.analysis import mdd_result
+    from mdd_tpu.evals.wer import read_trn
+
+    mdd_result(read_trn(args.ref), read_trn(args.human),
+               read_trn(args.hyp), out_dir=args.detail_dir)
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     import bench
 
@@ -281,6 +295,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "of G2P (reference --phonetic transcript mode)")
     q.add_argument("--decode-dump", help="write decode_seq.txt here")
     q.set_defaults(fn=cmd_infer)
+
+    q = sub.add_parser("mdd-result",
+                       help="score decode dumps (mdd_result.sh pipeline)")
+    q.add_argument("--ref", required=True,
+                   help="canonical phones trn (result/ref format)")
+    q.add_argument("--human", required=True,
+                   help="human-annotated phones trn (result/human_seq)")
+    q.add_argument("--hyp", required=True,
+                   help="decoded phones trn (result/hyp)")
+    q.add_argument("--detail-dir",
+                   help="emit Kaldi-format *_detail alignment files here")
+    q.set_defaults(fn=cmd_mdd_result)
 
     q = sub.add_parser("benchmark", help="training-throughput benchmark")
     q.set_defaults(fn=cmd_benchmark)

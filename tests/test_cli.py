@@ -74,6 +74,20 @@ def tiny_conf(workdir):
     return conf
 
 
+def test_cli_mdd_result(attention_result_dir, tmp_path, capsys):
+    """`mdd-result` reproduces the committed PER report and emits the
+    three Kaldi-format detail files (result/mdd_result.sh:6-13)."""
+    r = attention_result_dir
+    assert main(["mdd-result", "--ref", str(r / "ref"),
+                 "--human", str(r / "human_seq"), "--hyp", str(r / "hyp"),
+                 "--detail-dir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "%WER 15.21 [ 4423 / 29087, 597 ins, 852 del, 2974 sub ]" in out
+    assert "Recall:" in out and "f1:" in out and "DER:" in out
+    for name in ("ref_human_detail", "human_our_detail", "ref_our_detail"):
+        assert (tmp_path / name).exists()
+
+
 def test_cli_train_evaluate_infer(workdir, tiny_conf, reference_dir,
                                   tmp_path, capsys):
     assert main(["train", "--conf", str(tiny_conf)]) == 0
