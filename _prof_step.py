@@ -43,7 +43,7 @@ def timeit(name, fn, n=10):
     return dt
 
 
-inputs, fracs, targets, tsizes, trans, trsizes = arrays
+inputs, fracs, targets, tsizes, trans, trsizes, mask = arrays
 variables = {"params": state.params, "batch_stats": state.batch_stats}
 
 # forward only (eval mode)

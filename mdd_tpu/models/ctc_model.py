@@ -93,12 +93,17 @@ class BiLstmLayer(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # x: (B, T, D)
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 sample_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        # x: (B, T, D); sample_mask: (B,) bool — rows excluded from the
+        # batch-norm statistics (padding rows added to fill the DP mesh;
+        # the torch reference always trains on true batch sizes,
+        # train_ctc.py:42-98, so masked stats are the parity-correct path).
         if self.use_batch_norm:
+            bn_mask = None if sample_mask is None else sample_mask[:, None, None]
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype,
-                             name="bn")(x)
+                             name="bn")(x, mask=bn_mask)
         d = x.shape[-1]
         h = self.hidden_size
         scale = 1.0 / (h ** 0.5)
@@ -135,10 +140,13 @@ class ConvSubsampler(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 sample_mask: jnp.ndarray | None = None) -> jnp.ndarray:
         # x: (B, T, F) -> (B, T', F'*C)
         x = x[..., None].astype(self.dtype)
         cfg = self.cfg
+        bn_mask = (None if sample_mask is None
+                   else sample_mask[:, None, None, None])
         for i, (ch, k, s, p) in enumerate(zip(
                 cfg.conv_channels, cfg.conv_kernels, cfg.conv_strides,
                 cfg.conv_padding)):
@@ -147,7 +155,7 @@ class ConvSubsampler(nn.Module):
                         dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype,
-                             name=f"bn{i}")(x)
+                             name=f"bn{i}")(x, mask=bn_mask)
             x = nn.relu(x)
             x = nn.Dropout(cfg.dropout, deterministic=not train)(x)
         b, t, f, c = x.shape
@@ -193,16 +201,19 @@ class CTCAttentionModel(nn.Module):
         trans: jnp.ndarray,           # (B, L) canonical phone ids
         trans_lengths: jnp.ndarray | None = None,   # (B,)
         train: bool = False,
+        sample_mask: jnp.ndarray | None = None,     # (B,) bool; False rows
+        # are mesh-padding and are excluded from batch-norm statistics
     ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
 
-        x = ConvSubsampler(cfg, dtype=dtype, name="conv")(feats, train)
+        x = ConvSubsampler(cfg, dtype=dtype, name="conv")(
+            feats, train, sample_mask)
         for i in range(cfg.rnn_layers):
             x = BiLstmLayer(cfg.rnn_hidden_size, use_batch_norm=(i > 0),
                             use_bias=False, dropout=cfg.dropout, dtype=dtype,
                             use_pallas=cfg.use_pallas_lstm,
-                            name=f"rnn{i}")(x, train)
+                            name=f"rnn{i}")(x, train, sample_mask)
         # x: (B, T', 768)
 
         if cfg.use_text_attention:
@@ -214,8 +225,9 @@ class CTCAttentionModel(nn.Module):
             context, _ = dot_attention(x, keys, values, mask)
             x = jnp.concatenate([x, context], axis=-1)  # (B, T', 1536)
 
+        head_mask = None if sample_mask is None else sample_mask[:, None, None]
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dtype,
-                         name="head_bn")(x)
+                         name="head_bn")(x, mask=head_mask)
         logits = nn.Dense(cfg.num_class, use_bias=False, dtype=dtype,
                           name="head")(x)
         logits = logits.astype(jnp.float32)

@@ -106,21 +106,30 @@ class Trainer:
     # ------------------------------------------------------------------
     def _loss_and_out(self, params, batch_stats, batch_arrays, dropout_rng,
                       train: bool):
-        inputs, fracs, targets, tsizes, trans, trsizes = batch_arrays
+        # `mask` marks real samples; False rows are mesh-padding (ragged
+        # tail batches padded so B divides the device count).  They are
+        # excluded from batch-norm statistics (sample_mask) and from the
+        # loss, so padding never biases gradients — the torch reference
+        # always trains on true batch sizes (train_ctc.py:42-98).
+        inputs, fracs, targets, tsizes, trans, trsizes, mask = batch_arrays
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             log_probs, updates = self.model.apply(
                 variables, inputs, trans, trsizes, train=True,
+                sample_mask=mask,
                 rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
             new_stats = updates["batch_stats"]
         else:
             log_probs = self.model.apply(
-                variables, inputs, trans, trsizes, train=False)
+                variables, inputs, trans, trsizes, train=False,
+                sample_mask=mask)
             new_stats = batch_stats
         out_len = log_probs.shape[0]
         input_sizes = (fracs * out_len).astype(jnp.int32)
         nll = ctc_loss(log_probs, input_sizes, targets, tsizes)
-        loss = jnp.sum(nll) / inputs.shape[0]
+        maskf = mask.astype(nll.dtype)
+        # CTCLoss(sum) / true batch size — reference train_ctc.py:72-74.
+        loss = jnp.sum(nll * maskf) / jnp.maximum(jnp.sum(maskf), 1.0)
         # greedy ids for train-WER (host collapses them)
         ids = jnp.argmax(log_probs, axis=-1).swapaxes(0, 1)
         return loss, (new_stats, ids, input_sizes)
@@ -147,7 +156,7 @@ class Trainer:
 
             return jax.jit(
                 step,
-                in_shardings=(repl, (data_sh,) * 6, repl),
+                in_shardings=(repl, (data_sh,) * 7, repl),
                 out_shardings=(repl, repl, data_sh, data_sh),
                 donate_argnums=(0,))
 
@@ -158,7 +167,7 @@ class Trainer:
             return loss, ids, isz
 
         return jax.jit(eval_step,
-                       in_shardings=(repl, (data_sh,) * 6),
+                       in_shardings=(repl, (data_sh,) * 7),
                        out_shardings=(repl, data_sh, data_sh))
 
     def _step_fn(self, train: bool):
@@ -167,9 +176,12 @@ class Trainer:
         return self._jit_cache[train]
 
     # ------------------------------------------------------------------
-    def _batch_arrays(self, batch: Batch):
+    def _batch_arrays(self, batch: Batch, valid: Optional[np.ndarray] = None):
+        if valid is None:
+            valid = np.ones(batch.size, bool)
         arrays = (batch.inputs, batch.input_fracs, batch.targets,
-                  batch.target_sizes, batch.trans, batch.trans_sizes)
+                  batch.target_sizes, batch.trans, batch.trans_sizes,
+                  np.asarray(valid, bool))
         return shard_batch(self.mesh, tuple(jnp.asarray(a) for a in arrays))
 
     @staticmethod
@@ -202,17 +214,14 @@ class Trainer:
         for i, batch in enumerate(loader):
             padded, valid = pad_batch_to(
                 batch, -(-batch.size // n_dev) * n_dev)
-            arrays = self._batch_arrays(padded)
+            arrays = self._batch_arrays(padded, valid)
             if train:
                 self.rng, dropout_rng = jax.random.split(self.rng)
                 self.state, loss, ids, isz = step_fn(
                     self.state, arrays, dropout_rng)
             else:
                 loss, ids, isz = step_fn(self.state, arrays)
-            # scale the loss back to the true batch size (padding rows
-            # contribute; divide by valid count instead)
-            loss = float(loss) * padded.size / max(1, valid.sum())
-            total_loss += loss
+            total_loss += float(loss)
             errs, toks = self._wer_counts(ids, isz, padded.targets,
                                           padded.target_sizes, valid)
             total_errs += errs
