@@ -122,9 +122,21 @@ def cmd_train_lm(args) -> int:
 
 
 def cmd_train(args) -> int:
+    import jax
+
     from mdd_tpu.data.vocab import Vocab
     from mdd_tpu.train.loop import Trainer
     from mdd_tpu.utils.config import load_config
+
+    if args.distributed:
+        # Multi-host entry: every host runs this same command;
+        # coordinator/rank discovery comes from the TPU runtime (GCE
+        # metadata) or the standard JAX_COORDINATOR_ADDRESS /
+        # JAX_PROCESS_ID / JAX_NUM_PROCESSES env vars.
+        jax.distributed.initialize()
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
 
     cfg = load_config(args.conf)
     vocab = Vocab.from_units_file(cfg.vocab_file)
@@ -274,6 +286,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("train", help="train the CTC-attention model")
     q.add_argument("--conf", required=True)
+    q.add_argument("--distributed", action="store_true",
+                   help="multi-host run: call jax.distributed.initialize() "
+                        "before building the mesh (run on every host)")
     q.set_defaults(fn=cmd_train)
 
     q = sub.add_parser("evaluate", help="MDD evaluation on the test set")

@@ -104,6 +104,50 @@ def score_mdd(
     return rep
 
 
+_COUNT_FIELDS = ("true_accept", "false_rejection", "false_accept",
+                 "tr_correct_diag", "tr_wrong_diag", "total_canonical_phones")
+_REPORT_FIELDS = ("errors", "tokens", "accent_errors", "accent_tokens",
+                  "n_utts")
+
+
+def report_to_vector(rep: MddReport) -> np.ndarray:
+    """Flatten the integer tallies of an MddReport into one int64 vector
+    (counts, accent_counts, then scalar fields) for cross-host psum."""
+    vals = [getattr(rep.counts, f) for f in _COUNT_FIELDS]
+    vals += [getattr(rep.accent_counts, f) for f in _COUNT_FIELDS]
+    vals += [getattr(rep, f) for f in _REPORT_FIELDS]
+    return np.asarray(vals, np.int64)
+
+
+def report_from_vector(vec: np.ndarray) -> MddReport:
+    vec = [int(v) for v in np.asarray(vec)]
+    n = len(_COUNT_FIELDS)
+    counts = MddCounts(**dict(zip(_COUNT_FIELDS, vec[:n])))
+    accent = MddCounts(**dict(zip(_COUNT_FIELDS, vec[n:2 * n])))
+    rep = MddReport(counts=counts, accent_counts=accent)
+    for f, v in zip(_REPORT_FIELDS, vec[2 * n:]):
+        setattr(rep, f, v)
+    return rep
+
+
+def all_reduce_report(rep: MddReport) -> MddReport:
+    """Sum an MddReport's tallies across all JAX processes.
+
+    Multi-host DP evaluation: each host decodes its own shard of the test
+    set (BucketedLoader shards by process_index); the global PER / MDD
+    metrics are the elementwise sum of the per-host integer tallies.
+    No-op in a single-process run.  decode_minutes stays host-local
+    (wall-clock, not summable).
+    """
+    if jax.process_count() == 1:
+        return rep
+    from mdd_tpu.parallel.mesh import all_reduce_metrics
+
+    out = report_from_vector(all_reduce_metrics(report_to_vector(rep)))
+    out.decode_minutes = rep.decode_minutes
+    return out
+
+
 def _format_counts(c: MddCounts, errors: int, tokens: int) -> List[str]:
     per = 100.0 * errors / tokens if tokens else 0.0
     lines = [
@@ -238,5 +282,8 @@ def evaluate_model(
 
     rep = score_mdd(triples, accent_prefixes)
     rep.decode_minutes = (time.time() - start) / 60.0
+    # Multi-host: sum tallies across processes so every host logs the
+    # global metrics (each host decoded only its loader shard).
+    rep = all_reduce_report(rep)
     log(format_mdd_report(rep))
     return rep

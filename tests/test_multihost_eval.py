@@ -1,0 +1,88 @@
+"""Multi-host evaluation aggregation: per-host shard scoring summed via
+the cross-process reduction equals single-host scoring of the full set.
+
+The reduction path (evaluate.all_reduce_report -> mesh.all_reduce_metrics
+-> multihost_utils.process_allgather) is exercised both as the
+single-process no-op and under a simulated 2-host run (process_count and
+process_allgather monkeypatched), against the committed 900-utterance
+result dumps so the invariant is pinned at production scale.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from mdd_tpu.evals.evaluate import (
+    all_reduce_report,
+    report_from_vector,
+    report_to_vector,
+    score_mdd,
+)
+from mdd_tpu.evals.wer import read_trn
+
+
+@pytest.fixture(scope="module")
+def committed_triples(attention_result_dir):
+    ref = read_trn(str(attention_result_dir / "ref"))          # canonical
+    human = read_trn(str(attention_result_dir / "human_seq"))  # label
+    hyp = read_trn(str(attention_result_dir / "hyp"))          # decoded
+    return [(u, hyp[u], human[u], ref[u]) for u in sorted(ref)]
+
+
+def _reports_equal(a, b):
+    assert dataclasses.asdict(a.counts) == dataclasses.asdict(b.counts)
+    assert dataclasses.asdict(a.accent_counts) == dataclasses.asdict(
+        b.accent_counts)
+    for f in ("errors", "tokens", "accent_errors", "accent_tokens",
+              "n_utts"):
+        assert getattr(a, f) == getattr(b, f), f
+
+
+def test_report_vector_roundtrip(committed_triples):
+    rep = score_mdd(committed_triples[:100])
+    _reports_equal(rep, report_from_vector(report_to_vector(rep)))
+
+
+def test_shard_sum_equals_full_scoring(committed_triples):
+    """score(shard A) + score(shard B) == score(A ∪ B) — the invariant
+    multi-host evaluation relies on (tallies are per-utterance sums)."""
+    full = score_mdd(committed_triples)
+    half = len(committed_triples) // 2
+    rep_a = score_mdd(committed_triples[:half])
+    rep_b = score_mdd(committed_triples[half:])
+    summed = report_from_vector(
+        report_to_vector(rep_a) + report_to_vector(rep_b))
+    _reports_equal(full, summed)
+    assert full.per == pytest.approx(summed.per)
+    assert full.counts.f1 == pytest.approx(summed.counts.f1)
+
+
+def test_all_reduce_report_single_process_noop(committed_triples):
+    rep = score_mdd(committed_triples[:50])
+    out = all_reduce_report(rep)
+    _reports_equal(rep, out)
+
+
+def test_all_reduce_report_simulated_two_hosts(committed_triples,
+                                               monkeypatch):
+    """Simulate host 0 of a 2-process run: process_allgather returns both
+    hosts' tally vectors; the reduced report must equal full scoring."""
+    from jax.experimental import multihost_utils
+
+    full = score_mdd(committed_triples)
+    half = len(committed_triples) // 2
+    rep_a = score_mdd(committed_triples[:half])
+    rep_b = score_mdd(committed_triples[half:])
+    vec_b = report_to_vector(rep_b)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda tree: np.stack([np.asarray(tree), vec_b]))
+
+    reduced = all_reduce_report(rep_a)
+    _reports_equal(full, reduced)
+    assert reduced.decode_minutes == rep_a.decode_minutes
