@@ -1,10 +1,10 @@
-"""Benchmark: training throughput of the flagship text-attention CTC model.
+"""Benchmark: training throughput + decode throughput of the flagship model.
 
-Metric: audio-seconds of speech processed per second per chip by the full
-jit-compiled data-parallel training step (forward + CTC loss + backward +
-Adam update) on realistic shapes.
+Primary metric: audio-seconds of speech processed per second per chip by
+the full jit-compiled data-parallel training step (forward + CTC loss +
+backward + Adam update) on realistic shapes.
 
-Shapes: batch of 64 utterances x 160 model-input frames.  The pipeline is
+Shapes: batch of 512 utterances x 160 model-input frames.  The pipeline is
 16 kHz -> 100 fps fbank -> frame-skip 2 (tools.py:218-227 semantics), so
 one model-input frame = 0.02 s of audio and 160 frames ~= a 3.2 s
 utterance — the TIMIT/L2-ARCTIC average.
@@ -14,7 +14,12 @@ utts + 897 dev utts ~= 21 700 audio-seconds — in ~68.5 s
 (egs/attention_aug/result/train.log:280 "time_used: 1.1420 minutes"),
 i.e. ~317 audio-seconds/s.  vs_baseline = ours / 317.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The `extra` field carries the honest accounting the primary number rests
+on: ms/step, analytic FLOP/step, MFU against the chip's bf16 peak, and
+the batched jit beam-decode throughput (reference decodes 900 utts in
+3.25 min, result/train.log:3703-3705).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -31,16 +36,57 @@ LABEL_LEN = 48
 WARMUP_STEPS = 5
 BENCH_STEPS = 30
 
+DECODE_BATCH = 512
+DECODE_FRAMES = 80   # model output frames for a 3.2 s utterance
+BEAM_WIDTH = 10
+REFERENCE_DECODE_MIN_900 = 3.25   # result/train.log:3703-3705
 
-def main() -> None:
+# bf16 peak of one TPU v5e (v5 lite) chip.
+TPU_V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def train_step_flops(cfg, batch: int, frames: int, label_len: int) -> float:
+    """Analytic FLOP count of one training step (fwd + bwd ~= 3x fwd).
+
+    Counts the MXU work (convs, LSTM gate matmuls, projections, attention,
+    head); elementwise/BN/CTC work is bandwidth- not FLOP-bound and is
+    excluded, so MFU reported from this is a slight *under*estimate.
+    """
+    t, f = frames, cfg.input_dim
+    flops = 0.0
+    cin = 1
+    for (kt, kf), (st, sf), (pt, pf), ch in zip(
+            cfg.conv_kernels, cfg.conv_strides, cfg.conv_padding,
+            cfg.conv_channels):
+        t = (t + 2 * pt - kt) // st + 1
+        f = (f + 2 * pf - kf) // sf + 1
+        flops += 2.0 * t * f * ch * kt * kf * cin
+        cin = ch
+    t_out = t
+    h = cfg.rnn_hidden_size
+    d_in = f * cin
+    for layer in range(cfg.rnn_layers):
+        d = d_in if layer == 0 else 2 * h
+        flops += 2.0 * t_out * 2 * (d * 4 * h + h * 4 * h)   # both directions
+    if cfg.use_text_attention:
+        le = label_len
+        e = cfg.text_embed_size
+        flops += 2.0 * le * 2 * (e * 4 * h + h * 4 * h)      # text BiLSTM
+        flops += 2.0 * le * (2 * h) * (2 * h)                # key projection
+        flops += 2.0 * t_out * le * (2 * h) * 2              # scores + context
+        head_in = 4 * h
+    else:
+        head_in = 2 * h
+    flops += 2.0 * t_out * head_in * cfg.num_class
+    return 3.0 * batch * flops       # fwd + bwd
+
+
+def bench_train(cfg, extra: dict) -> float:
     from mdd_tpu.data.dataset import Batch
-    from mdd_tpu.models.ctc_model import ModelConfig
     from mdd_tpu.train.loop import Trainer
 
     import jax
 
-    cfg = ModelConfig(compute_dtype="bfloat16",
-                      use_pallas_lstm=jax.default_backend() == "tpu")
     trainer = Trainer(cfg, sample_t=FRAMES, sample_l=LABEL_LEN)
     n_chips = trainer.mesh.devices.size
 
@@ -54,8 +100,6 @@ def main() -> None:
         trans_sizes=np.full((BATCH,), LABEL_LEN, np.int32),
         utt_ids=[f"utt{i}" for i in range(BATCH)],
     )
-
-    import jax
 
     step_fn = trainer._step_fn(True)
     arrays = trainer._batch_arrays(batch)
@@ -76,13 +120,77 @@ def main() -> None:
     assert float(loss) > 0.0
     elapsed = time.perf_counter() - t0
 
+    ms_per_step = elapsed / BENCH_STEPS * 1e3
+    flops = train_step_flops(cfg, BATCH, FRAMES, LABEL_LEN)
+    mfu = flops / (elapsed / BENCH_STEPS) / (
+        TPU_V5E_BF16_PEAK_FLOPS * n_chips)
+    extra["ms_per_step"] = round(ms_per_step, 2)
+    extra["tflop_per_step"] = round(flops / 1e12, 3)
+    extra["mfu"] = round(mfu, 4)
+    extra["train_batch"] = BATCH
+
     audio_seconds = BENCH_STEPS * BATCH * FRAMES * SECONDS_PER_INPUT_FRAME
-    value = audio_seconds / elapsed / n_chips
+    return audio_seconds / elapsed / n_chips
+
+
+def bench_decode(cfg, extra: dict) -> None:
+    """Batched jit prefix-beam decode throughput (K=10, committed LM)."""
+    import pathlib
+
+    from mdd_tpu.data.vocab import Vocab
+    from mdd_tpu.decode.beam_jit import BatchedBeamDecoder
+
+    data = pathlib.Path("/root/reference/egs/attention_aug/data")
+    lm = None
+    if (data / "lm_phone_bg.arpa").exists():
+        from mdd_tpu.decode.arpa import ArpaBigramLM
+        lm = ArpaBigramLM(str(data / "lm_phone_bg.arpa"))
+    if (data / "units").exists():
+        vocab = Vocab.from_units_file(str(data / "units"))
+    else:
+        vocab = Vocab([f"p{i}" for i in range(cfg.num_class - 2)])
+
+    dec = BatchedBeamDecoder(vocab.index2word, beam_width=BEAM_WIDTH,
+                             lm=lm, lm_alpha=0.5)
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal(
+        (DECODE_BATCH, DECODE_FRAMES, vocab.n_words)).astype(np.float32)
+    logits[:, :, 0] += 2.0    # realistic blank-dominated posteriors
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    lengths = [DECODE_FRAMES] * DECODE_BATCH
+
+    dec.decode(probs, lengths)          # compile
+    t0 = time.perf_counter()
+    n_rounds = 3
+    for _ in range(n_rounds):
+        out = dec.decode(probs, lengths)
+    elapsed = time.perf_counter() - t0
+    assert len(out) == DECODE_BATCH
+    utts_per_s = n_rounds * DECODE_BATCH / elapsed
+    extra["decode_utts_per_s"] = round(utts_per_s, 1)
+    extra["decode_beam_width"] = BEAM_WIDTH
+    extra["decode_min_per_900_utts"] = round(900 / utts_per_s / 60, 4)
+    extra["decode_vs_reference"] = round(
+        REFERENCE_DECODE_MIN_900 / (900 / utts_per_s / 60), 1)
+
+
+def main() -> None:
+    from mdd_tpu.models.ctc_model import ModelConfig
+
+    import jax
+
+    cfg = ModelConfig(compute_dtype="bfloat16",
+                      use_pallas_lstm=jax.default_backend() == "tpu")
+    extra: dict = {}
+    value = bench_train(cfg, extra)
+    bench_decode(cfg, extra)
     print(json.dumps({
         "metric": "train_throughput_audio_seconds_per_s_per_chip",
         "value": round(value, 2),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 3),
+        "extra": extra,
     }))
 
 

@@ -211,7 +211,8 @@ def cmd_infer(args) -> int:
         model_cfg,
         session.variables, vocab,
         cmvn=parse_kaldi_cmvn_text(args.cmvn),
-        phonetic=Phonetic(asset_dir=args.dict_dir),
+        phonetic=Phonetic(asset_dir=args.dict_dir,
+                          ecdict_csv=args.ecdict_csv),
         decode_type=cfg.decode_type, beam_width=cfg.beam_width,
         lm_path=cfg.lm_path or None, lm_alpha=cfg.lm_alpha,
         left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
@@ -303,6 +304,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--checkpoint")
     q.add_argument("--cmvn", required=True)
     q.add_argument("--dict-dir")
+    q.add_argument("--ecdict-csv",
+                   help="ECDICT csv for Chinese word translations "
+                        "(reference dict/phonetic_dict.py:168-242)")
     q.add_argument("--phonetic-format", choices=["cmu", "ipa"],
                    default="cmu")
     q.add_argument("--textgrid-path",

@@ -161,6 +161,51 @@ def write_per_utt_details(
             f.write(f"{utt} #csid {c} {s} {i} {d}\n")
 
 
+def wer_ops_details(
+    ref: Dict[str, Sequence[str]],
+    hyp: Dict[str, Sequence[str]],
+    max_size: int = 16,
+) -> tuple[Dict[tuple, int], str]:
+    """Aggregate per-token C/S/I/D confusion counts + formatted report.
+
+    Port of utils/scoring/wer_ops_details.pl (reference
+    result/utils/scoring/wer_ops_details.pl:66-147): every aligned
+    (ref_token, hyp_token) pair across the corpus is tallied, then
+    emitted sorted by ref token / hyp token with the Perl script's exact
+    column layout — 14-char op label, right-justified tokens padded to
+    the corpus-wide max token length (capped at `max_size`), 4-space
+    separators, right-justified count.
+
+    Returns (counts keyed by (ref_token, hyp_token), formatted report).
+    """
+    counts: Dict[tuple, int] = {}
+    for utt in ref:
+        if utt not in hyp:
+            continue
+        for r, h in kaldi_alignment(ref[utt], hyp[utt]):
+            counts[(str(r), str(h))] = counts.get((str(r), str(h)), 0) + 1
+
+    word_len = max((max(len(r), len(h)) for r, h in counts), default=1)
+    ops_len = max((len(str(c)) for c in counts.values()), default=1)
+    if word_len > max_size:
+        word_len = max_size
+
+    lines = []
+    for (r, h) in sorted(counts):
+        c = counts[(r, h)]
+        if r == h:
+            label = "correct       "
+        elif r == EPS:
+            label = "insertion     "
+        elif h == EPS:
+            label = "deletion      "
+        else:
+            label = "substitution  "
+        lines.append("%s%*s    %*s    %*d"
+                     % (label, word_len, r, word_len, h, ops_len, c))
+    return counts, "\n".join(lines) + ("\n" if lines else "")
+
+
 def mdd_result(
     ref: Dict[str, Sequence[str]],
     human: Dict[str, Sequence[str]],
@@ -184,6 +229,14 @@ def mdd_result(
                               os.path.join(out_dir, "human_our_detail"))
         write_per_utt_details(ref, hyp,
                               os.path.join(out_dir, "ref_our_detail"))
+        # aggregate confusion reports (wer_ops_details.pl equivalents)
+        for pair, name in (((ref, human), "ref_human_ops"),
+                           ((human, hyp), "human_our_ops"),
+                           ((ref, hyp), "ref_our_ops")):
+            _, text = wer_ops_details(*pair)
+            with open(os.path.join(out_dir, name), "w",
+                      encoding="utf-8") as f:
+                f.write(text)
     m = hierarchical_mdd_analysis(ref, human, hyp)
     log(m.report())
     return m

@@ -78,6 +78,7 @@ class WordDiagnosis:
     correct: int
     total: int
     score: int
+    phonics: str = ""   # letter->IPA breakdown (phonics_engine.csv)
 
     def render(self) -> str:
         lines = [
@@ -85,6 +86,8 @@ class WordDiagnosis:
             f"{self.utt_id}: {self.word}",
             self.ipa_display,
         ]
+        if self.phonics:
+            lines.append("phonics: " + self.phonics)
         if self.translation:
             lines.append(self.translation)
         lines += [
@@ -136,12 +139,18 @@ class InferenceEngine:
         max_wav_seconds: float = 180.0,
         use_ipa: bool = False,
     ):
+        t0 = time.time()
         self.session = EvalSession(model_cfg, variables, vocab,
                                    decode_type, beam_width, lm_path, lm_alpha)
+        t1 = time.time()
         self.vocab = vocab
         self.cmvn = cmvn
         self.fbank_cfg = fbank_cfg
         self.phonetic = phonetic or Phonetic()
+        # init-stage wall clock for the reference's 4-way RTF breakdown
+        # (infer.py:588-597: model init / phone init / denoise / mdd infer)
+        self._model_init_s = t1 - t0
+        self._phone_init_s = time.time() - t1
         self.left_ctx, self.right_ctx = left_ctx, right_ctx
         self.n_skip_frame, self.n_downsample = n_skip_frame, n_downsample
         self.denoiser = denoiser
@@ -209,6 +218,9 @@ class InferenceEngine:
                 canonical_units = self.phonetic.canonical_model_phones(word)
             ipa_display = self.phonetic.api_word_phonetic(word)
             translation = self.phonetic.api_word_translation(word)
+            phonics_entry = self.phonetic.api_word_phonics(word)
+            phonics = ("" if phonics_entry is None else " ".join(
+                "-".join(m) for m in phonics_entry["mapping"]))
 
         feats = self._featurize({utt_id: wav})[utt_id]
         batch = self._model_batch(utt_id, feats, canonical_units)
@@ -231,7 +243,7 @@ class InferenceEngine:
             translation=translation, canonical_row=can_row, ops_row=ops_row,
             decoded_row=dec_row, insertion_faults=ins_f,
             substitution_faults=sub_f, deletion_faults=del_f,
-            correct=correct, total=total, score=score)
+            correct=correct, total=total, score=score, phonics=phonics)
 
     def diagnose_dir(self, wav_dir: str, log=print,
                      textgrid_dir: Optional[str] = None,
@@ -283,10 +295,20 @@ class InferenceEngine:
         t2 = time.time()
 
         if total_audio > 0:
-            rtf = (t2 - t0) / total_audio
+            # 4-way per-stage RTF breakdown, reference infer.py:588-597:
+            # model init / phone init / denoise(+audio load) / mdd infer.
+            denoise_s = t1 - t0
+            mdd_s = t2 - t1
+            time_used = (self._model_init_s + self._phone_init_s
+                         + denoise_s + mdd_s)
+            rtf = time_used / total_audio
             log("RTF: %.4f, time used for decode %d sentences: %.4f "
                 "seconds, total wav length: %.4f seconds"
-                % (rtf, len(items), t2 - t0, total_audio))
-            log("audio load time: %.4f, mdd infer time: %.4f"
-                % ((t1 - t0) / total_audio, (t2 - t1) / total_audio))
+                % (rtf, len(items), time_used, total_audio))
+            log("init model time: %.4f, init phone time: %.4f, "
+                "denoise time: %.4f, mdd infer time: %.4f"
+                % (self._model_init_s / total_audio,
+                   self._phone_init_s / total_audio,
+                   denoise_s / total_audio, mdd_s / total_audio))
+            log("process time: %.4f" % ((denoise_s + mdd_s) / total_audio))
         return results

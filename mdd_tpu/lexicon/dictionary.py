@@ -406,6 +406,22 @@ class Phonetic:
             self.api_word_phones_cmu(word).split(" "))
         return [CMU_TO_IPA_WIKI.get(p, p) for p in phones if p]
 
+    def api_word_phonics(self, word: str) -> Optional[Dict]:
+        """Letter-group -> IPA phonics breakdown from phonics_engine.csv
+        (the reference loads this table in its dictionary exercise,
+        phonetic_dict.py:147-166, 579).  Returns {'phonetic': ipa,
+        'mapping': [(letters, ipa), ...]} or None when the word is not in
+        the phonics table."""
+        try:
+            self.load_letter_ipa_dict()
+        except FileNotFoundError:
+            return None
+        word = word.strip()
+        for key in (word, word.lower(), word.capitalize(), word.upper()):
+            if key in self.letter_ipa_dict:
+                return self.letter_ipa_dict[key]
+        return None
+
     def api_word_phrase_tts(self, text: str, accent: str = "Default",
                             speed: float = 0.7,
                             out_dir: str = ".") -> Optional[str]:

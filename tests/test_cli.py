@@ -90,13 +90,22 @@ def test_cli_mdd_result(attention_result_dir, tmp_path, capsys):
 
 def test_cli_train_evaluate_infer(workdir, tiny_conf, reference_dir,
                                   tmp_path, capsys):
+    import re
+
     assert main(["train", "--conf", str(tiny_conf)]) == 0
     assert (workdir / "ckpt" / "tiny" / "best").exists()
+    out = capsys.readouterr().out
+    # training must actually learn: epoch-2 train loss below epoch-1
+    losses = [float(m) for m in re.findall(
+        r"Train done, total_loss: ([\d.]+)", out)]
+    assert len(losses) >= 2 and losses[-1] < losses[0], losses
 
     assert main(["evaluate", "--conf", str(tiny_conf),
                  "--dump-dir", str(tmp_path)]) == 0
     out = capsys.readouterr().out
     assert "Phoneme error rate" in out and "F1 score" in out
+    f1 = [float(m) for m in re.findall(r"F1 score : ([\d.]+)", out)]
+    assert f1 and all(np.isfinite(v) for v in f1)
     assert (tmp_path / "decode_seq.log").exists()
 
     import shutil
@@ -107,8 +116,21 @@ def test_cli_train_evaluate_infer(workdir, tiny_conf, reference_dir,
     for i in (1, 2):
         shutil.copy(demo / f"{i}.wav", infer_dir / f"{i}.wav")
         shutil.copy(demo / f"{i}.txt", infer_dir / f"{i}.txt")
+    ecdict = tmp_path / "ecdict.csv"
+    ecdict.write_text(
+        "word,phonetic,definition,translation\n"
+        "vocabulary,və'kæbjuləri,n. words,n. 词汇；单词表\n"
+        "gather,'gæðə,v. collect,v. 聚集；收集\n"
+        "about,ə'baut,adv. around,prep. 关于\n", encoding="utf-8")
     assert main(["infer", "--wav-transcript-path", str(infer_dir),
                  "--conf", str(tiny_conf),
+                 "--ecdict-csv", str(ecdict),
                  "--cmvn", str(workdir / "global_fbank_cmvn.txt")]) == 0
     out = capsys.readouterr().out
     assert "score  :" in out and "RTF" in out
+    # ECDICT translations surfaced in the reports
+    assert "词汇" in out and "聚集" in out
+    # reference 4-way RTF breakdown (infer.py:588-597)
+    assert re.search(r"init model time: [\d.]+, init phone time: [\d.]+, "
+                     r"denoise time: [\d.]+, mdd infer time: [\d.]+", out)
+    assert "process time:" in out

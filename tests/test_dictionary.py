@@ -110,3 +110,44 @@ def test_api_word_phonetic_format(phonetic):
 
 def test_translation_empty_without_ecdict(phonetic):
     assert phonetic.api_word_translation("cat") == ""
+
+
+def test_ecdict_translation_from_csv(tmp_path):
+    """ECDICT wiring: a 3-row csv drives api_word_translation
+    (reference dict/phonetic_dict.py:168-242)."""
+    from mdd_tpu.lexicon.dictionary import Phonetic
+
+    csv_path = tmp_path / "ecdict.csv"
+    csv_path.write_text(
+        "word,phonetic,definition,translation\n"
+        "gather,'gæðə,v. collect,v. 聚集；收集\n"
+        "vocabulary,və'kæbjuləri,n. words,n. 词汇；单词表\n"
+        "about,ə'baut,adv. around,adv. 大约\\nprep. 关于\n",
+        encoding="utf-8")
+    p = Phonetic(ecdict_csv=str(csv_path))
+    assert p.api_word_translation("gather") == "v. 聚集；收集"
+    assert p.api_word_translation("VOCABULARY") == "n. 词汇；单词表"
+    # multi-class entries keep every headline class on its own line
+    assert p.api_word_translation("about") == "adv. 大约\nprep. 关于"
+    assert p.api_word_translation("nosuchword") == ""
+
+
+def test_ecdict_missing_csv_is_empty():
+    from mdd_tpu.lexicon.dictionary import Phonetic
+
+    p = Phonetic(ecdict_csv="/nonexistent/ecdict.csv")
+    assert p.api_word_translation("gather") == ""
+
+
+def test_api_word_phonics(reference_dir):
+    """phonics_engine.csv consumption: letter-group -> IPA breakdown."""
+    from mdd_tpu.lexicon.dictionary import Phonetic, default_asset_dir
+
+    if default_asset_dir() is None:
+        pytest.skip("dictionary assets unavailable")
+    p = Phonetic()
+    entry = p.api_word_phonics("African")
+    assert entry is not None
+    assert entry["phonetic"] == "ˈæfrɪkən"
+    assert ("a", "æ") in entry["mapping"]
+    assert p.api_word_phonics("zzzznotaword") is None
