@@ -233,6 +233,59 @@ def align_canonical_decoded(
     return decoded, canonical, ops
 
 
+# Confusable-phone forgiveness tiers (reference infer.py:69-100 `g_pairs`).
+# Keyed by strictness level; canonical phone -> decoded phone(s) accepted
+# as that canonical phone.  The reference defines these plus `mild1` but
+# never calls them (README.md:5 advertises the strict criterion); they
+# are ported behind an off-by-default `level` switch for capability
+# parity.
+G_PAIRS: Dict[int, Dict[str, List[str]]] = {
+    0: {"ah": ["ae"]},
+    1: {
+        "ae": ["eh"], "eh": ["ae"], "ih": ["iy"], "iy": ["ih"],
+        "er": ["ah", "aa"], "v": ["w"], "w": ["v"], "ay": ["ae"],
+        "uw": ["ah", "uh"], "aa": ["ah", "ao"], "ah": ["ao", "ow"],
+        "th": ["s"], "ng": ["n"], "dh": ["z", "d"], "aw": ["ah"],
+        "ey": ["eh"], "uh": ["ow"], "ao": ["aa"], "m": ["n"], "n": ["m"],
+    },
+    2: {"z": ["s"]},
+}
+
+
+def forgiveness_pairs(level: int = 1) -> Dict[str, List[str]]:
+    """Merge G_PAIRS tiers 0..level (reference mild1:102-115)."""
+    pairs: Dict[str, List[str]] = {}
+    for i in range(level + 1):
+        for k, v in G_PAIRS.get(i, {}).items():
+            pairs.setdefault(k, []).extend(v)
+    return pairs
+
+
+def apply_forgiveness(
+    decoded: List[str], canonical: List[str], ops: List[str],
+    level: int = 1,
+) -> Tuple[List[str], List[str], List[str]]:
+    """Forgive confusable-phone substitutions (reference mild1:102-153).
+
+    Operates on the placeholder-expanded token streams from
+    align_canonical_decoded: a substitution slot whose canonical phone c
+    is in the merged pair table and whose decoded phone is in pairs[c]
+    is rewritten to a correct slot ('-') with the decoded phone set to
+    the canonical one.  The reference implementation works on the
+    column-padded display *strings* and carries extra pop() logic that
+    only compensates for width-padding artifacts of that representation;
+    on token lists the rewrite is exactly this.
+    """
+    pairs = forgiveness_pairs(level)
+    decoded, canonical, ops = list(decoded), list(canonical), list(ops)
+    for i, op in enumerate(ops):
+        if (op == "S" and canonical[i] in pairs
+                and decoded[i] in pairs[canonical[i]]):
+            ops[i] = "-"
+            decoded[i] = canonical[i]
+    return decoded, canonical, ops
+
+
 def fault_statistics(
     ops: Sequence[str], canonical: Sequence[str], decoded: Sequence[str]
 ) -> Tuple[List[str], List[str], List[str]]:

@@ -217,7 +217,8 @@ def cmd_infer(args) -> int:
         lm_path=cfg.lm_path or None, lm_alpha=cfg.lm_alpha,
         left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
         n_skip_frame=cfg.n_skip_frame, n_downsample=cfg.n_downsample,
-        use_ipa=args.phonetic_format == "ipa")
+        use_ipa=args.phonetic_format == "ipa",
+        forgiving=args.forgiving)
     engine.diagnose_dir(args.wav_transcript_path,
                         textgrid_dir=args.textgrid_path,
                         decode_dump=args.decode_dump)
@@ -307,6 +308,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--ecdict-csv",
                    help="ECDICT csv for Chinese word translations "
                         "(reference dict/phonetic_dict.py:168-242)")
+    q.add_argument("--forgiving", type=int, choices=[0, 1, 2],
+                   default=None,
+                   help="forgive confusable-phone substitutions at this "
+                        "g_pairs level (reference infer.py:69-153; off "
+                        "by default = the reference's strict criterion)")
     q.add_argument("--phonetic-format", choices=["cmu", "ipa"],
                    default="cmu")
     q.add_argument("--textgrid-path",

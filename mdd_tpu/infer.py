@@ -29,6 +29,7 @@ import numpy as np
 from mdd_tpu.align.levenshtein import align
 from mdd_tpu.align.mdd import (
     align_canonical_decoded,
+    apply_forgiveness,
     fault_statistics,
     word_score,
 )
@@ -138,6 +139,8 @@ class InferenceEngine:
         denoiser: Optional[Callable[[np.ndarray, int], np.ndarray]] = None,
         max_wav_seconds: float = 180.0,
         use_ipa: bool = False,
+        forgiving: Optional[int] = None,   # g_pairs level (off by default,
+        # matching the reference's strict criterion — infer.py:69-153)
     ):
         t0 = time.time()
         self.session = EvalSession(model_cfg, variables, vocab,
@@ -156,6 +159,7 @@ class InferenceEngine:
         self.denoiser = denoiser
         self.max_wav_seconds = max_wav_seconds
         self.use_ipa = use_ipa
+        self.forgiving = forgiving
         self._timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------------
@@ -230,11 +234,15 @@ class InferenceEngine:
 
         _, dc_path = align(decoded, canonical)
 
-        if self.use_ipa:
-            decoded = [CMU_TO_IPA_WIKI.get(p.upper(), p) for p in decoded]
-            canonical = [CMU_TO_IPA_WIKI.get(p.upper(), p) for p in canonical]
-
         dec, can, ops = align_canonical_decoded(decoded, canonical, dc_path)
+        if self.forgiving is not None:
+            dec, can, ops = apply_forgiveness(dec, can, ops, self.forgiving)
+        if self.use_ipa:
+            # display conversion after alignment/forgiveness: the pair
+            # tables are keyed by model units; 'D'/'I' placeholders pass
+            # through the map unchanged
+            dec = [CMU_TO_IPA_WIKI.get(p.upper(), p) for p in dec]
+            can = [CMU_TO_IPA_WIKI.get(p.upper(), p) for p in can]
         ins_f, sub_f, del_f = fault_statistics(ops, can, dec)
         score, correct, total = word_score(ops, len(ins_f))
         can_row, ops_row, dec_row = _aligned_rows(dec, can, ops)

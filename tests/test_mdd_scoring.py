@@ -153,3 +153,46 @@ def test_mdd_corpus_totals_on_committed_dumps(attention_result_dir):
     assert counts.false_accept == 2083
     assert (counts.tr_correct_diag, counts.tr_wrong_diag) == (1712, 496)
     assert round(counts.f1, 4) == 0.5158
+
+
+def test_forgiveness_pairs_merge_levels():
+    from mdd_tpu.align.mdd import forgiveness_pairs
+
+    p0 = forgiveness_pairs(0)
+    assert p0 == {"ah": ["ae"]}
+    p1 = forgiveness_pairs(1)
+    # level-0 and level-1 entries merge ('ah' collects all three)
+    assert p1["ah"] == ["ae", "ao", "ow"]
+    assert p1["er"] == ["ah", "aa"]
+    assert "z" not in p1
+    p2 = forgiveness_pairs(2)
+    assert p2["z"] == ["s"]
+
+
+def test_apply_forgiveness_rewrites_confusable_subs():
+    from mdd_tpu.align.mdd import apply_forgiveness
+
+    #          forgiven   kept       forgiven(l2 only)
+    decoded = ["eh",      "k",       "s",  "D"]
+    canonical = ["ae",    "t",       "z",  "m"]
+    ops = ["S", "S", "S", "D"]
+    dec, can, op = apply_forgiveness(decoded, canonical, ops, level=1)
+    assert op == ["-", "S", "S", "D"]
+    assert dec == ["ae", "k", "s", "D"]       # rewritten to canonical
+    assert can == canonical
+    dec2, _, op2 = apply_forgiveness(decoded, canonical, ops, level=2)
+    assert op2 == ["-", "S", "-", "D"]
+    assert dec2 == ["ae", "k", "z", "D"]
+
+
+def test_apply_forgiveness_improves_word_score():
+    from mdd_tpu.align.mdd import apply_forgiveness, word_score
+
+    decoded = ["ih", "n", "s"]
+    canonical = ["iy", "n", "s"]
+    ops = ["S", "-", "-"]
+    strict_score, _, _ = word_score(ops, 0)
+    dec, can, op = apply_forgiveness(decoded, canonical, ops, level=1)
+    forgiving_score, _, _ = word_score(op, 0)
+    assert forgiving_score > strict_score
+    assert forgiving_score == 100
