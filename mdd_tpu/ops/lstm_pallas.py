@@ -31,10 +31,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B_TILE = 64        # forward tile
-B_TILE_BWD = 32    # backward needs ~2x the live blocks (saved activations,
-                   # dW accumulator) — smaller tile keeps it under the
-                   # 16 MB VMEM budget
+# Batch tile sizes by compute dtype.  bf16 halves every VMEM block, so
+# the tiles can fill (or double-pump) the 128-row MXU systolic array; the
+# f32 tiles are the largest that fit the 16 MB VMEM budget (f32 at
+# B_TILE_BWD=128 needs 18.75 MB and OOMs).  Backward needs ~2x the live
+# blocks (saved activations + the dW accumulator), hence smaller tiles.
+_TILES = {
+    jnp.dtype(jnp.bfloat16): (256, 64),
+    jnp.dtype(jnp.float32): (64, 32),
+}
+
+
+def _tiles(dtype) -> tuple[int, int]:
+    return _TILES.get(jnp.dtype(dtype), (64, 32))
 
 
 def _interpret() -> bool:
@@ -57,10 +66,12 @@ def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    xp = xp_ref[0]            # (2, B_TILE, 4H)
-    h = h_scr[:]              # (2, B_TILE, H)
-    c = c_scr[:]
-    gates = xp + jnp.concatenate(
+    xp = xp_ref[0]            # (2, B_TILE, 4H), compute dtype
+    h = h_scr[:]              # (2, B_TILE, H), compute dtype
+    c = c_scr[:]              # (2, B_TILE, H), float32
+    # dot operands stay in the compute dtype (bf16 on bfloat16 runs —
+    # full-rate MXU); accumulation and gate math are always float32.
+    gates = xp.astype(jnp.float32) + jnp.concatenate(
         [jnp.dot(h[d], whh_ref[d], preferred_element_type=jnp.float32)[None]
          for d in range(2)], axis=0)
     hdim = h.shape[-1]
@@ -85,12 +96,21 @@ def _pad_batch(x, bt):
 
 
 def _lstm_seq_fwd(x_proj: jnp.ndarray, w_hh: jnp.ndarray):
-    """(T, 2, B, 4H), (2, H, 4H) -> (hs, cs) each (T, 2, B, H)."""
+    """(T, 2, B, 4H), (2, H, 4H) -> (hs, cs) each (T, 2, B, H).
+
+    Runs in x_proj's dtype: on bfloat16 runs the recurrent dots are
+    bf16 x bf16 -> f32 (full-rate MXU) and the hs/cs streams written to
+    HBM are bf16 (half the bandwidth); the cell state and all gate math
+    stay float32 in VMEM.  float32 inputs reproduce the float32 kernel
+    exactly (the CPU-interpret test path).
+    """
+    dtype = x_proj.dtype
+    B_TILE, _ = _tiles(dtype)
     x_proj, b_orig = _pad_batch(x_proj, B_TILE)
     t, d, b, four_h = x_proj.shape
     h = four_h // 4
     nb = b // B_TILE
-    out_shape = jax.ShapeDtypeStruct((t, d, b, h), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((t, d, b, h), dtype)
     blk = lambda i, j: (j, 0, i, 0)   # grid (nb, t): batch-major
     hs, cs = pl.pallas_call(
         _fwd_kernel,
@@ -106,11 +126,11 @@ def _lstm_seq_fwd(x_proj: jnp.ndarray, w_hh: jnp.ndarray):
         ),
         out_shape=(out_shape, out_shape),
         scratch_shapes=[
-            pltpu.VMEM((d, B_TILE, h), jnp.float32),
+            pltpu.VMEM((d, B_TILE, h), dtype),
             pltpu.VMEM((d, B_TILE, h), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x_proj.astype(jnp.float32), w_hh.astype(jnp.float32))
+    )(x_proj, w_hh.astype(dtype))
     return hs[:, :, :b_orig], cs[:, :, :b_orig]
 
 
@@ -134,15 +154,16 @@ def _bwd_kernel(xp_ref, whh_ref, cs_ref, hprev_ref, cprev_ref,
     def _():
         dwacc_scr[:] = jnp.zeros_like(dwacc_scr)
 
-    xp = xp_ref[0]                       # (2, B_TILE, 4H)
-    h_prev = hprev_ref[0]                # (2, B_TILE, H)
-    c_prev = cprev_ref[0]
-    c_t = cs_ref[0]
+    xp = xp_ref[0]                       # (2, B_TILE, 4H), compute dtype
+    h_prev = hprev_ref[0]                # (2, B_TILE, H), compute dtype
+    c_prev = cprev_ref[0].astype(jnp.float32)
+    c_t = cs_ref[0].astype(jnp.float32)
     dh_total = dhs_ref[0] + dh_scr[:]
     hdim = h_prev.shape[-1]
 
-    # recompute gates (same dots as forward)
-    gates = xp + jnp.concatenate(
+    # recompute gates (same dots as forward: operands in compute dtype,
+    # float32 accumulation/gate math)
+    gates = xp.astype(jnp.float32) + jnp.concatenate(
         [jnp.dot(h_prev[d], whh_ref[d],
                  preferred_element_type=jnp.float32)[None]
          for d in range(2)], axis=0)
@@ -164,13 +185,16 @@ def _bwd_kernel(xp_ref, whh_ref, cs_ref, hprev_ref, cprev_ref,
     dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)  # (2, Bt, 4H)
 
     dxp_ref[0] = dgates.astype(dxp_ref.dtype)
-    # dh_prev = dgates @ W^T ; dW += h_prev^T @ dgates
+    # dh_prev = dgates @ W^T ; dW += h_prev^T @ dgates — dot operands in
+    # the compute dtype, f32 accumulation (matches autodiff through a
+    # bf16 scan, where the cotangents themselves are bf16)
+    dg_lp = dgates.astype(whh_ref.dtype)
     dh_prev = jnp.concatenate(
-        [jnp.dot(dgates[d], whh_ref[d].T,
+        [jnp.dot(dg_lp[d], whh_ref[d].T,
                  preferred_element_type=jnp.float32)[None]
          for d in range(2)], axis=0)
     dwacc_scr[:] += jnp.concatenate(
-        [jnp.dot(h_prev[d].T, dgates[d],
+        [jnp.dot(h_prev[d].T, dg_lp[d],
                  preferred_element_type=jnp.float32)[None]
          for d in range(2)], axis=0)
     dh_scr[:] = dh_prev
@@ -182,6 +206,8 @@ def _bwd_kernel(xp_ref, whh_ref, cs_ref, hprev_ref, cprev_ref,
 
 
 def _lstm_seq_bwd(x_proj, w_hh, hs, cs, dhs):
+    dtype = x_proj.dtype
+    _, B_TILE_BWD = _tiles(dtype)
     x_proj, b_orig = _pad_batch(x_proj, B_TILE_BWD)
     hs, _ = _pad_batch(hs, B_TILE_BWD)
     cs, _ = _pad_batch(cs, B_TILE_BWD)
@@ -212,7 +238,7 @@ def _lstm_seq_bwd(x_proj, w_hh, hs, cs, dhs):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t, d, b, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((t, d, b, four_h), dtype),
             jax.ShapeDtypeStruct((d, h, four_h), jnp.float32),
         ),
         scratch_shapes=[
@@ -221,8 +247,7 @@ def _lstm_seq_bwd(x_proj, w_hh, hs, cs, dhs):
             pltpu.VMEM((d, h, four_h), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x_proj.astype(jnp.float32), w_hh.astype(jnp.float32),
-      cs, hprev, cprev, dhs)
+    )(x_proj, w_hh.astype(dtype), cs, hprev, cprev, dhs)
     return dxp[:, :, :b_orig], dwhh
 
 
@@ -267,7 +292,9 @@ def bilstm_pallas(
         xf = xf + b_fwd
     if b_bwd is not None:
         xb = xb + b_bwd
-    x_proj = jnp.stack([xf, xb], axis=1)
+    # keep the projection stream in the compute dtype (bf16 halves the
+    # kernel's HBM traffic; the scan path stores xp in x.dtype too)
+    x_proj = jnp.stack([xf, xb], axis=1).astype(x.dtype)
     w_hh = jnp.stack([w_hh_fwd, w_hh_bwd])
     hs = lstm_seq(x_proj, w_hh)
     fwd = hs[:, 0]
