@@ -175,6 +175,49 @@ def bench_decode(cfg, extra: dict) -> None:
         REFERENCE_DECODE_MIN_900 / (900 / utts_per_s / 60), 1)
 
 
+def bench_epoch(cfg, extra: dict) -> None:
+    """End-to-end epoch throughput INCLUDING the input pipeline.
+
+    Synthesizes a 400-utterance corpus (tools/synthetic_corpus.py), then
+    runs full epochs through the real stack: kaldiio ark reads,
+    SpecAugment + transcript mutation, splice/skip, bucketed batching,
+    host->device transfer, jit DP train step.  This is the honest number
+    the fixed-shape `value` metric is an upper bound on."""
+    import tempfile
+    from pathlib import Path
+
+    from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
+    from mdd_tpu.data.vocab import Vocab
+    from mdd_tpu.frontend import kaldi_io
+    from mdd_tpu.train.loop import Trainer
+    from tools.synthetic_corpus import PHONES, make_split
+
+    with tempfile.TemporaryDirectory() as d:
+        out = Path(d)
+        make_split(out, "train", 400, seed=0)
+        vocab = Vocab(PHONES)
+        ds = SpeechDataset(vocab, str(out / "train.scp"),
+                           str(out / "train_phn_text"),
+                           str(out / "train_transcript_phn_text"),
+                           train=True)
+        audio_s = sum(kaldi_io.load_mat(rx).shape[0]
+                      for _, rx, _, _ in ds.items) * 0.01
+        loader = BucketedLoader(ds, batch_size=64, shuffle=True, seed=0,
+                                num_workers=4)
+        trainer = Trainer(cfg, sample_t=64, sample_l=16)
+        trainer.run_epoch(loader, epoch=0, train=True,
+                          log=lambda *_: None)          # compile epoch
+        t0 = time.perf_counter()
+        n_epochs = 3
+        for e in range(1, n_epochs + 1):
+            trainer.run_epoch(loader, epoch=e, train=True,
+                              log=lambda *_: None)
+        elapsed = time.perf_counter() - t0
+        rate = n_epochs * audio_s / elapsed / trainer.mesh.devices.size
+        extra["epoch_audio_s_per_s_with_pipeline"] = round(rate, 1)
+        extra["epoch_s"] = round(elapsed / n_epochs, 3)
+
+
 def main() -> None:
     from mdd_tpu.models.ctc_model import ModelConfig
 
@@ -185,6 +228,10 @@ def main() -> None:
     extra: dict = {}
     value = bench_train(cfg, extra)
     bench_decode(cfg, extra)
+    # 25 classes = the synthetic corpus vocabulary (23 phones + blank/UNK)
+    bench_epoch(ModelConfig(num_class=25, compute_dtype="bfloat16",
+                            use_pallas_lstm=jax.default_backend() == "tpu"),
+                extra)
     print(json.dumps({
         "metric": "train_throughput_audio_seconds_per_s_per_chip",
         "value": round(value, 2),

@@ -211,6 +211,24 @@ class Trainer:
         step_fn = self._step_fn(train)
         n_dev = self.mesh.devices.size
         total_loss, total_errs, total_tokens, n_batches = 0.0, 0, 0, 0
+        # Per-step outputs are kept as device arrays and fetched lazily:
+        # a float(loss)/np.asarray(ids) per step forces a device sync that
+        # serializes the host input pipeline against device compute (and
+        # costs a full round-trip on remote-TPU platforms).  Fetching only
+        # at print_every boundaries and at epoch end lets dispatch run
+        # ahead of the loader.
+        pending: list = []
+
+        def flush():
+            nonlocal total_loss, total_errs, total_tokens, n_batches
+            for loss_d, ids_d, isz_d, tgt, tsz, v in pending:
+                total_loss += float(loss_d)
+                errs, toks = self._wer_counts(ids_d, isz_d, tgt, tsz, v)
+                total_errs += errs
+                total_tokens += toks
+                n_batches += 1
+            pending.clear()
+
         for i, batch in enumerate(loader):
             padded, valid = pad_batch_to(
                 batch, -(-batch.size // n_dev) * n_dev)
@@ -221,16 +239,14 @@ class Trainer:
                     self.state, arrays, dropout_rng)
             else:
                 loss, ids, isz = step_fn(self.state, arrays)
-            total_loss += float(loss)
-            errs, toks = self._wer_counts(ids, isz, padded.targets,
-                                          padded.target_sizes, valid)
-            total_errs += errs
-            total_tokens += toks
-            n_batches += 1
+            pending.append((loss, ids, isz, padded.targets,
+                            padded.target_sizes, valid))
             if train and (i + 1) % print_every == 0:
+                flush()
                 log("Epoch = %d, step = %d, total_loss = %.4f, total_wer = %.4f"
                     % (epoch, i + 1, total_loss / n_batches,
                        total_errs / max(1, total_tokens)))
+        flush()
         avg_loss = total_loss / max(1, n_batches)
         wer = total_errs / max(1, total_tokens)
         log("Epoch %d %s done, total_loss: %.4f, total_wer: %.4f"
