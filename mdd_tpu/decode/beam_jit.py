@@ -225,8 +225,17 @@ class BatchedBeamDecoder:
         """(B, T, C) probabilities -> label id sequences."""
         log_probs = jnp.log(jnp.maximum(jnp.asarray(probs, jnp.float32),
                                         1e-38))
+        return self.decode_log(log_probs, lengths)
+
+    def decode_log(self, log_probs, lengths: Sequence[int]) -> List[List[int]]:
+        """(B, T, C) LOG probabilities -> label id sequences.
+
+        Skips the probs round-trip — model log-softmax output can be fed
+        straight in (the kernel derives p(blank) for the skip/repeat
+        gates from the log values itself)."""
         prefixes, lens = _beam_search_batch(
-            log_probs, jnp.asarray(lengths, jnp.int32), self.lm_matrix,
+            jnp.asarray(log_probs, jnp.float32),
+            jnp.asarray(lengths, jnp.int32), self.lm_matrix,
             beam_width=self.beam_width, blank=self.blank,
             blank_skip_threshold=self.blank_skip_threshold)
         prefixes = np.asarray(prefixes)

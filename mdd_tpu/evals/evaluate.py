@@ -236,6 +236,11 @@ class EvalSession:
             ids = np.asarray(jnp.argmax(log_probs, axis=-1)).T  # (B, T)
             seqs = [collapse_ctc(ids[b], int(frames[b]))
                     for b in range(ids.shape[0])]
+        elif hasattr(self.beam, "decode_log"):
+            # jit beam: feed log-softmax straight in — no host exp /
+            # device log round-trip over the (B, T, C) tensor
+            seqs = self.beam.decode_log(log_probs.swapaxes(0, 1),
+                                        frames.tolist())
         else:
             probs = np.exp(np.asarray(log_probs)).transpose(1, 0, 2)
             seqs = self.beam.decode(probs, frames.tolist())

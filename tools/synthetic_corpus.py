@@ -17,6 +17,8 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 PHONES = ["sil", "aa", "ae", "ah", "b", "d", "eh", "er", "f", "g", "ih",
