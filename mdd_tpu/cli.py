@@ -37,7 +37,8 @@ def _model_config_from_meta(meta: dict):
     return ModelConfig(**raw)
 
 
-def _build_loader(cfg, vocab, scp, lab, trans, train: bool):
+def _build_loader(cfg, vocab, scp, lab, trans, train: bool,
+                  device_fe: bool = False):
     import jax
 
     from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
@@ -48,14 +49,17 @@ def _build_loader(cfg, vocab, scp, lab, trans, train: bool):
         left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
         n_skip_frame=cfg.n_skip_frame, n_downsample=cfg.n_downsample,
         train=train, augment_mode=cfg.augment_mode,
-        mutation_prob=cfg.mutation_prob)
+        mutation_prob=cfg.mutation_prob,
+        device_frontend=device_fe)
     loader = BucketedLoader(ds, cfg.batch_size,
                             shuffle=train and cfg.shuffle_train,
                             seed=cfg.seed, num_workers=cfg.num_workers,
                             time_quantum=cfg.time_quantum,
                             label_quantum=cfg.label_quantum,
                             process_index=jax.process_index(),
-                            process_count=jax.process_count())
+                            process_count=jax.process_count(),
+                            wire_dtype=(cfg.wire_dtype or None)
+                            if device_fe else None)
     if cfg.num_workers > 0:
         loader = ThreadedLoader(loader, prefetch=4)
     return loader
@@ -141,19 +145,26 @@ def cmd_train(args) -> int:
     cfg = load_config(args.conf)
     vocab = Vocab.from_units_file(cfg.vocab_file)
     print(f"Vocabulary size is {vocab.n_words}")
+    # the device-frontend wire format is a Trainer-level contract: the
+    # train AND dev loaders must both use it (both feed Trainer steps);
+    # the eval session (cmd_evaluate) stays host-spliced.
+    device_fe = bool(getattr(cfg, "device_frontend", False))
     train_loader = _build_loader(cfg, vocab, cfg.train_scp_path,
                                  cfg.train_lab_path, cfg.train_trans_path,
-                                 train=True)
+                                 train=True, device_fe=device_fe)
     dev_loader = _build_loader(cfg, vocab, cfg.valid_scp_path,
                                cfg.valid_lab_path, cfg.valid_trans_path,
-                               train=False)
+                               train=False, device_fe=device_fe)
     trainer = Trainer(
         cfg.model_config(vocab.n_words),
         init_lr=cfg.init_lr, weight_decay=cfg.weight_decay,
         lr_decay=cfg.lr_decay, end_adjust_acc=cfg.end_adjust_acc,
         plateau_patience=cfg.plateau_patience,
         max_adjust_times=cfg.max_adjust_times, seed=cfg.seed,
-        n_devices=cfg.data_parallel)
+        n_devices=cfg.data_parallel,
+        device_frontend=device_fe,
+        left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
+        n_skip_frame=cfg.n_skip_frame, n_downsample=cfg.n_downsample)
     summary = trainer.fit(train_loader, dev_loader,
                           num_epochs=cfg.num_epoches,
                           print_every=cfg.verbose_step,

@@ -76,6 +76,7 @@ class SpeechDataset:
         train: bool = False,
         augment_mode: int = 2,
         mutation_prob: float = 0.1,
+        device_frontend: bool = False,
     ):
         self.vocab = vocab
         self.left_ctx, self.right_ctx = left_ctx, right_ctx
@@ -83,6 +84,11 @@ class SpeechDataset:
         self.train = train
         self.augment_mode = augment_mode
         self.mutation_prob = mutation_prob
+        # device_frontend: ship RAW (T, D) features over the wire and run
+        # splice + frame-skip on device inside the jit train step
+        # (frontend.splice.batched_splice_skip) — (left+1+right)x fewer
+        # host->device bytes, the usual bottleneck on remote-attached TPUs.
+        self.device_frontend = device_frontend
 
         scp = kaldi_io.read_scp(scp_path)
         labels = _read_keyed(lab_path)
@@ -109,10 +115,11 @@ class SpeechDataset:
             feat = spec_augment(feat, rng)
             trans = mutate_transcript(trans, self.vocab, rng,
                                       self.mutation_prob, self.augment_mode)
-        feat = skip_frames(
-            make_context(feat, self.left_ctx, self.right_ctx),
-            self.n_skip_frame)
-        feat = pad_to_multiple(feat, self.n_downsample)
+        if not self.device_frontend:
+            feat = skip_frames(
+                make_context(feat, self.left_ctx, self.right_ctx),
+                self.n_skip_frame)
+            feat = pad_to_multiple(feat, self.n_downsample)
         return feat.astype(np.float32), list(label), list(trans), utt
 
 
@@ -141,13 +148,29 @@ class BucketedLoader:
         num_workers: int = 0,
         process_index: int = 0,
         process_count: int = 1,
+        wire_dtype: Optional[str] = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.time_quantum = time_quantum
+        if getattr(dataset, "device_frontend", False):
+            # raw-grid bucketing: quantize on pre-skip frames so the
+            # post-skip grid lands on the same time_quantum boundaries,
+            # and batched_splice_skip's divisibility holds.
+            skip = max(dataset.n_skip_frame, 1)
+            self.time_quantum = (
+                _round_up(time_quantum * skip,
+                          skip * dataset.n_downsample))
         self.label_quantum = label_quantum
+        # wire_dtype: dtype of Batch.inputs as shipped to the device —
+        # "bfloat16" halves host->device bytes (features are CMVN-
+        # normalized, so bf16's ~3 significant digits lose nothing the
+        # model's own bf16 compute path wouldn't).
+        self.wire_dtype = np.float32 if wire_dtype is None else (
+            __import__("ml_dtypes").bfloat16 if wire_dtype == "bfloat16"
+            else np.dtype(wire_dtype))
         self.drop_last = drop_last
         self.num_workers = num_workers
         self._epoch = 0
@@ -208,7 +231,7 @@ class BucketedLoader:
         d = chunk[0][0].shape[1]
         l_max = _round_up(max(len(it[1]) for it in chunk), self.label_quantum)
         l2_max = _round_up(max(len(it[2]) for it in chunk), self.label_quantum)
-        inputs = np.zeros((b, t_max, d), np.float32)
+        inputs = np.zeros((b, t_max, d), self.wire_dtype)
         fracs = np.zeros(b, np.float32)
         targets = np.zeros((b, l_max), np.int32)
         tsizes = np.zeros(b, np.int32)

@@ -71,7 +71,21 @@ class Trainer:
         n_devices: int = 0,
         sample_t: int = 64,
         sample_l: int = 16,
+        device_frontend: bool = False,
+        left_ctx: int = 0,
+        right_ctx: int = 2,
+        n_skip_frame: int = 2,
+        n_downsample: int = 2,
     ):
+        # device_frontend: batches arrive as RAW (B, T_raw, D) features
+        # (see data.dataset.SpeechDataset(device_frontend=True)); splice +
+        # frame-skip run on device inside the jit step, cutting
+        # host->device transfer by the splice factor.  input_fracs then
+        # carry raw-length fractions; the step recovers true lengths and
+        # recomputes the model-frame fractions itself.
+        self.device_frontend = device_frontend
+        self.left_ctx, self.right_ctx = left_ctx, right_ctx
+        self.n_skip_frame, self.n_downsample = n_skip_frame, n_downsample
         self.model_cfg = model_cfg
         self.model = CTCAttentionModel(model_cfg)
         self.mesh = make_mesh(n_devices)
@@ -112,6 +126,14 @@ class Trainer:
         # loss, so padding never biases gradients — the torch reference
         # always trains on true batch sizes (train_ctc.py:42-98).
         inputs, fracs, targets, tsizes, trans, trsizes, mask = batch_arrays
+        if self.device_frontend:
+            from mdd_tpu.frontend.splice import batched_splice_skip
+
+            raw_len = jnp.round(fracs * inputs.shape[1]).astype(jnp.int32)
+            inputs, model_frames = batched_splice_skip(
+                inputs, raw_len, self.left_ctx, self.right_ctx,
+                self.n_skip_frame, self.n_downsample)
+            fracs = model_frames.astype(jnp.float32) / inputs.shape[1]
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             log_probs, updates = self.model.apply(
@@ -130,8 +152,9 @@ class Trainer:
         maskf = mask.astype(nll.dtype)
         # CTCLoss(sum) / true batch size — reference train_ctc.py:72-74.
         loss = jnp.sum(nll * maskf) / jnp.maximum(jnp.sum(maskf), 1.0)
-        # greedy ids for train-WER (host collapses them)
-        ids = jnp.argmax(log_probs, axis=-1).swapaxes(0, 1)
+        # greedy ids for train-WER (host collapses them); uint8 quarters
+        # the device->host fetch (num_class <= 255 always holds here)
+        ids = jnp.argmax(log_probs, axis=-1).swapaxes(0, 1).astype(jnp.uint8)
         return loss, (new_stats, ids, input_sizes)
 
     def _make_step(self, train: bool):

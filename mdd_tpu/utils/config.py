@@ -90,6 +90,13 @@ class Config:
     num_buckets: int = 8
     time_quantum: int = 64      # pad batch time axis to a multiple of this
     label_quantum: int = 16     # pad label axes to a multiple of this
+    # TPU-native input-transfer fast path (no reference equivalent):
+    # ship raw un-spliced features, splice/skip on device in the jit
+    # step, optionally in bfloat16 — (left+1+right)x (x2 with bf16)
+    # fewer host->device bytes.  Bit-equivalent to the host pipeline
+    # (tests/test_device_frontend.py).
+    device_frontend: bool = False
+    wire_dtype: str = ""        # "" = float32; "bfloat16" halves transfer
 
     # decoding
     decode_type: str = "Beam"     # reference quirk: anything != 'Greedy' -> Beam

@@ -52,7 +52,11 @@ def synth_utterance(phones, rng):
 
 
 def make_split(out: Path, name: str, n: int, seed: int,
-               error_rate: float = 0.15) -> None:
+               error_rate: float = 0.15,
+               min_phones: int = 4, max_phones: int = 12) -> None:
+    """min/max_phones control utterance length: the default 4-12 phones
+    (~0.6-1.5 s) keeps CPU tests fast; pass ~16-40 (~2-4.5 s) to match
+    the real TIMIT/L2-ARCTIC length distribution for benchmarking."""
     from mdd_tpu.frontend import kaldi_io
 
     rng = np.random.default_rng(seed)
@@ -65,7 +69,7 @@ def make_split(out: Path, name: str, n: int, seed: int,
             open(out / f"{name}_transcript_phn_text", "w") as trn:
         for i in range(n):
             utt = f"{name}_{i:05d}"
-            length = int(rng.integers(4, 12))
+            length = int(rng.integers(min_phones, max_phones))
             canonical = ["sil"] + [content[rng.integers(len(content))]
                                    for _ in range(length)] + ["sil"]
             actual = list(canonical)
