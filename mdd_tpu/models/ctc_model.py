@@ -181,6 +181,10 @@ class TextEncoder(nn.Module):
             # runs unpacked LSTMs and has this leak; we fix it).
             valid = jnp.arange(trans.shape[1])[None, :] < trans_lengths[:, None]
             emb = jnp.where(valid[:, :, None], emb, 0.0)
+        # NOTE: the text branch stays on the lax.scan LSTM deliberately —
+        # at L ~= 48 steps it is a tiny fraction of step time, and the
+        # Pallas kernel's compile at this (short-T, 512-dim) shape was
+        # observed to take pathologically long on the remote TPU.
         values = BiLstmLayer(cfg.rnn_hidden_size, use_batch_norm=False,
                              use_bias=True, dropout=0.0, dtype=self.dtype,
                              name="lstm")(emb, train)

@@ -7,9 +7,10 @@ to masked attention (padded canonical positions excluded) because it is
 strictly more correct for variable-length prompts, with an escape hatch for
 bug-parity experiments.
 
-A fused Pallas kernel for the TPU hot path lives in
-mdd_tpu.ops.attention_kernel; this jnp version is the reference
-implementation and the autodiff path.
+No custom kernel needed here: at L ~= 48 canonical positions the score
+and context matmuls are small enough that XLA fuses the whole
+softmax-attention into a handful of MXU ops — a Pallas/flash-style
+kernel only pays off when the L x T score matrix stops fitting VMEM.
 """
 
 from __future__ import annotations

@@ -96,6 +96,14 @@ class Trainer:
         self.seed = seed
         rng = jax.random.key(seed)
         self.rng, init_rng = jax.random.split(rng)
+        if jax.default_backend() == "tpu":
+            # Dropout-mask stream: the XLA hardware RngBitGenerator
+            # ("rbg") generates the ~500M mask bits/step ~10x cheaper
+            # than threefry on TPU (measured: 102 -> 79 ms full grad at
+            # batch 512).  Param init above stays on threefry so
+            # initialization is reproducible across backends; dropout
+            # masks are statistically equivalent either way.
+            self.rng = jax.random.key(seed + 1, impl="rbg")
         feats = jnp.zeros((1, sample_t, model_cfg.input_dim))
         trans = jnp.zeros((1, sample_l), jnp.int32)
         variables = self.model.init(
@@ -244,6 +252,15 @@ class Trainer:
 
         def flush():
             nonlocal total_loss, total_errs, total_tokens, n_batches
+            # start all device->host copies before consuming any: each
+            # synchronous fetch pays a full network round trip on
+            # remote-attached TPUs (~23 ms here), async copies overlap
+            for loss_d, ids_d, isz_d, _, _, _ in pending:
+                for a in (loss_d, ids_d, isz_d):
+                    try:
+                        a.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        pass
             for loss_d, ids_d, isz_d, tgt, tsz, v in pending:
                 total_loss += float(loss_d)
                 errs, toks = self._wer_counts(ids_d, isz_d, tgt, tsz, v)
