@@ -218,6 +218,18 @@ def cmd_infer(args) -> int:
 
     cfg = load_config(args.conf)
     session, vocab, model_cfg = _load_eval_session(cfg, args.checkpoint)
+    denoiser = None
+    if args.denoise:
+        # the native denoise stage replaces the reference's eeo_apm_test,
+        # which the demo runs on *every* wav (infer.py:486-516); built on
+        # demand, with an explicit warning if no toolchain is available
+        from mdd_tpu import native
+
+        if native.ensure_built():
+            denoiser = native.spectral_denoise
+        else:
+            print("warning: native denoiser unavailable (no C++ toolchain); "
+                  "proceeding without denoise", file=sys.stderr)
     engine = InferenceEngine(
         model_cfg,
         session.variables, vocab,
@@ -228,6 +240,7 @@ def cmd_infer(args) -> int:
         lm_path=cfg.lm_path or None, lm_alpha=cfg.lm_alpha,
         left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
         n_skip_frame=cfg.n_skip_frame, n_downsample=cfg.n_downsample,
+        denoiser=denoiser,
         use_ipa=args.phonetic_format == "ipa",
         forgiving=args.forgiving)
     engine.diagnose_dir(args.wav_transcript_path,
@@ -319,6 +332,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--ecdict-csv",
                    help="ECDICT csv for Chinese word translations "
                         "(reference dict/phonetic_dict.py:168-242)")
+    q.add_argument("--denoise", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="run the native denoise stage on every wav "
+                        "(default on — the reference demo denoises every "
+                        "input, infer.py:506-507); --no-denoise disables")
     q.add_argument("--forgiving", type=int, choices=[0, 1, 2],
                    default=None,
                    help="forgive confusable-phone substitutions at this "

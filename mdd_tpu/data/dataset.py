@@ -44,6 +44,11 @@ class Batch:
     trans: np.ndarray         # (B, L2) int32
     trans_sizes: np.ndarray   # (B,) int32
     utt_ids: List[str]
+    # score_mask[i] False marks a multi-host wrap-around duplicate: the
+    # row is processed (equal batch counts across hosts) but must not be
+    # scored — each utterance is scored on exactly one host.  None means
+    # all rows are scoring primaries (single-process loaders).
+    score_mask: Optional[np.ndarray] = None
 
     @property
     def size(self) -> int:
@@ -175,11 +180,15 @@ class BucketedLoader:
         self.num_workers = num_workers
         self._epoch = 0
         # Multi-host DP: each host iterates a deterministic, equal-length
-        # shard of the utterance list (SURVEY.md §7 hard part 6).
-        from mdd_tpu.data.prefetch import shard_for_host
+        # shard of the utterance list (SURVEY.md §7 hard part 6); the
+        # per-item primary flags mark wrap-around duplicates so scoring
+        # counts each utterance exactly once across hosts.
+        from mdd_tpu.data.prefetch import shard_for_host_primary
 
-        self._order = np.asarray(shard_for_host(
-            list(range(len(dataset))), process_index, process_count))
+        order, primary = shard_for_host_primary(
+            list(range(len(dataset))), process_index, process_count)
+        self._order = np.asarray(order)
+        self._primary = np.asarray(primary, bool)
 
     def __len__(self) -> int:
         n = len(self._order)
@@ -206,8 +215,10 @@ class BucketedLoader:
         rng = np.random.default_rng(self.seed + epoch)
         self._epoch += 1
         order = np.array(self._order)
+        primary = np.array(self._primary)
         if self.shuffle:
-            rng.shuffle(order)
+            perm = rng.permutation(len(order))
+            order, primary = order[perm], primary[perm]
             # length-aware shuffling: load in windows, sort each window by
             # length, emit batches — bounds padding waste while staying
             # stochastic.
@@ -218,7 +229,8 @@ class BucketedLoader:
         for wstart in range(0, len(order), window):
             widx = order[wstart:wstart + window]
             loaded = self._load_many(widx, epoch)
-            loaded.sort(key=lambda it: it[0].shape[0])
+            loaded = sorted(zip(loaded, primary[wstart:wstart + window]),
+                            key=lambda it: it[0][0].shape[0])
             for bstart in range(0, len(loaded), self.batch_size):
                 chunk = loaded[bstart:bstart + self.batch_size]
                 if self.drop_last and len(chunk) < self.batch_size:
@@ -227,26 +239,32 @@ class BucketedLoader:
 
     def _collate(self, chunk) -> Batch:
         b = len(chunk)
-        t_max = _round_up(max(it[0].shape[0] for it in chunk), self.time_quantum)
-        d = chunk[0][0].shape[1]
-        l_max = _round_up(max(len(it[1]) for it in chunk), self.label_quantum)
-        l2_max = _round_up(max(len(it[2]) for it in chunk), self.label_quantum)
+        t_max = _round_up(max(it[0].shape[0] for it, _ in chunk),
+                          self.time_quantum)
+        d = chunk[0][0][0].shape[1]
+        l_max = _round_up(max(len(it[1]) for it, _ in chunk),
+                          self.label_quantum)
+        l2_max = _round_up(max(len(it[2]) for it, _ in chunk),
+                           self.label_quantum)
         inputs = np.zeros((b, t_max, d), self.wire_dtype)
         fracs = np.zeros(b, np.float32)
         targets = np.zeros((b, l_max), np.int32)
         tsizes = np.zeros(b, np.int32)
         trans = np.zeros((b, l2_max), np.int32)
         trsizes = np.zeros(b, np.int32)
+        score = np.zeros(b, bool)
         utts = []
-        for i, (feat, label, tr, utt) in enumerate(chunk):
+        for i, ((feat, label, tr, utt), prim) in enumerate(chunk):
             inputs[i, :feat.shape[0]] = feat
             fracs[i] = feat.shape[0] / t_max
             targets[i, :len(label)] = label
             tsizes[i] = len(label)
             trans[i, :len(tr)] = tr
             trsizes[i] = len(tr)
+            score[i] = prim
             utts.append(utt)
-        return Batch(inputs, fracs, targets, tsizes, trans, trsizes, utts)
+        return Batch(inputs, fracs, targets, tsizes, trans, trsizes, utts,
+                     score_mask=score)
 
 
 def pad_batch_to(batch: Batch, batch_size: int) -> Tuple[Batch, np.ndarray]:
@@ -261,6 +279,9 @@ def pad_batch_to(batch: Batch, batch_size: int) -> Tuple[Batch, np.ndarray]:
     pad = batch_size - b
     rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
     mask = np.concatenate([np.ones(b, bool), np.zeros(pad, bool)])
+    score = (np.concatenate([batch.score_mask, np.zeros(pad, bool)])
+             if batch.score_mask is not None else None)
     return Batch(rep(batch.inputs), rep(batch.input_fracs), rep(batch.targets),
                  rep(batch.target_sizes), rep(batch.trans),
-                 rep(batch.trans_sizes), batch.utt_ids + ["<pad>"] * pad), mask
+                 rep(batch.trans_sizes), batch.utt_ids + ["<pad>"] * pad,
+                 score_mask=score), mask

@@ -79,10 +79,30 @@ def shard_for_host(
     batches (required for collective-synchronized training — 897/900-utt
     eval sets don't divide evenly, SURVEY.md §7).
     """
+    return shard_for_host_primary(items, process_index, process_count)[0]
+
+
+def shard_for_host_primary(
+    items: Sequence[T],
+    process_index: int,
+    process_count: int,
+) -> tuple[List[T], List[bool]]:
+    """shard_for_host plus a per-item *scoring-primary* flag.
+
+    Wrap-around padding makes shard lengths equal, but the wrapped items
+    are duplicates of items some other host already owns — scoring them
+    again would double-count (the reference scores each of the 900 test
+    utterances exactly once, test_ctc_nosil.py:165-298).  An occurrence
+    at host p, position i occupies global slot s = p*ceil(N/P) + i and
+    holds items[s % N]; it is the scoring primary iff s < N (each item's
+    first global occurrence).  Evaluation keeps duplicates in the batch
+    stream (equal batch counts per host) but masks them out of scoring.
+    """
     if process_count <= 1:
-        return list(items)
+        return list(items), [True] * len(items)
     n = len(items)
     per_host = -(-n // process_count)
     start = process_index * per_host
     out = [items[(start + i) % n] for i in range(per_host)]
-    return out
+    primary = [start + i < n for i in range(per_host)]
+    return out, primary

@@ -264,6 +264,10 @@ def evaluate_model(
         if batch_size and batch.size < batch_size:
             # pad the ragged tail batch so XLA sees one batch shape
             batch, valid = pad_batch_to(batch, batch_size)
+        if batch.score_mask is not None:
+            # exclude multi-host wrap-around duplicates: decoded (equal
+            # batch counts across hosts) but scored on exactly one host
+            valid &= batch.score_mask
         decoded, _ = session.decode_batch(batch)
         for i, utt in enumerate(batch.utt_ids):
             if not valid[i]:

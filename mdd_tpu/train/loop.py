@@ -76,6 +76,7 @@ class Trainer:
         right_ctx: int = 2,
         n_skip_frame: int = 2,
         n_downsample: int = 2,
+        weight_noise_std: float = 0.0,   # >0: add_weight_noise each epoch
     ):
         # device_frontend: batches arrive as RAW (B, T_raw, D) features
         # (see data.dataset.SpeechDataset(device_frontend=True)); splice +
@@ -86,7 +87,21 @@ class Trainer:
         self.device_frontend = device_frontend
         self.left_ctx, self.right_ctx = left_ctx, right_ctx
         self.n_skip_frame, self.n_downsample = n_skip_frame, n_downsample
+        self.weight_noise_std = weight_noise_std
         self.model_cfg = model_cfg
+        # _loss_and_out ships greedy ids as uint8 (quarters the
+        # device->host fetch); a >255-class vocab would silently wrap
+        assert model_cfg.num_class <= 255, (
+            "num_class %d > 255 breaks the uint8 train-WER fetch"
+            % model_cfg.num_class)
+        if device_frontend:
+            # the splice geometry must reproduce the model's input dim:
+            # raw D * (left+1+right) — catches a caller that enabled the
+            # device frontend but forgot to pass non-default splice params
+            ctx = left_ctx + 1 + right_ctx
+            assert model_cfg.input_dim % ctx == 0, (
+                "input_dim %d not divisible by splice context %d"
+                % (model_cfg.input_dim, ctx))
         self.model = CTCAttentionModel(model_cfg)
         self.mesh = make_mesh(n_devices)
         self.scheduler = PlateauScheduler(
@@ -142,6 +157,13 @@ class Trainer:
                 inputs, raw_len, self.left_ctx, self.right_ctx,
                 self.n_skip_frame, self.n_downsample)
             fracs = model_frames.astype(jnp.float32) / inputs.shape[1]
+        # static shape check: spliced dim must equal the model input dim
+        # (a geometry mismatch between loader and Trainer would otherwise
+        # only show up as silently degraded loss)
+        assert inputs.shape[-1] == self.model_cfg.input_dim, (
+            "spliced feature dim %d != model input_dim %d — splice "
+            "geometry (left_ctx/right_ctx) disagrees between the loader "
+            "and the Trainer" % (inputs.shape[-1], self.model_cfg.input_dim))
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             log_probs, updates = self.model.apply(
@@ -241,6 +263,10 @@ class Trainer:
         """-> (acc = 1 - WER, mean loss) — reference run_epoch contract."""
         step_fn = self._step_fn(train)
         n_dev = self.mesh.devices.size
+        # pad ragged tails to the loader's full batch size (rounded to the
+        # mesh) — padding only to a multiple of n_dev gave every distinct
+        # tail size its own jit recompile
+        full_b = getattr(loader, "batch_size", None)
         total_loss, total_errs, total_tokens, n_batches = 0.0, 0, 0, 0
         # Per-step outputs are kept as device arrays and fetched lazily:
         # a float(loss)/np.asarray(ids) per step forces a device sync that
@@ -270,8 +296,9 @@ class Trainer:
             pending.clear()
 
         for i, batch in enumerate(loader):
+            target_b = full_b if full_b and batch.size <= full_b else batch.size
             padded, valid = pad_batch_to(
-                batch, -(-batch.size // n_dev) * n_dev)
+                batch, -(-target_b // n_dev) * n_dev)
             arrays = self._batch_arrays(padded, valid)
             if train:
                 self.rng, dropout_rng = jax.random.split(self.rng)
@@ -294,6 +321,25 @@ class Trainer:
         return 1.0 - wer, avg_loss
 
     # ------------------------------------------------------------------
+    def add_weight_noise(self, std: float = 0.075) -> None:
+        """Add N(0, std) noise to every parameter.
+
+        Port of the reference's `add_weights_noise` (model_ctc.py:246-249)
+        behind an explicit call: in the reference it is dead code — no
+        trainer invokes it, and its `param = Parameter(...)` rebinds a
+        local so it would be a no-op even if called.  Ours actually
+        perturbs the parameters; enable per-epoch via the
+        `weight_noise_std` constructor arg.
+        """
+        self.rng, sub = jax.random.split(self.rng)
+        leaves, treedef = jax.tree.flatten(self.state.params)
+        keys = jax.random.split(sub, len(leaves))
+        noisy = [l + std * jax.random.normal(k, l.shape, l.dtype)
+                 for l, k in zip(leaves, keys)]
+        self.state = self.state.replace(
+            params=jax.device_put(jax.tree.unflatten(treedef, noisy),
+                                  replicated(self.mesh)))
+
     def _host_state(self):
         return jax.device_get(self.state)
 
@@ -328,6 +374,8 @@ class Trainer:
         while not sched.stopped and epoch < num_epochs:
             epoch += 1
             self._set_lr(sched.learning_rate)
+            if self.weight_noise_std > 0:
+                self.add_weight_noise(self.weight_noise_std)
             log("Start training epoch: %d, learning_rate: %.5f"
                 % (epoch, sched.learning_rate))
             _, train_loss = self.run_epoch(train_loader, epoch, True,

@@ -139,4 +139,12 @@ def load_config(path: str) -> Config:
             v = _literal(v)
         if hasattr(cfg, k):
             setattr(cfg, k, v)
+    if cfg.wire_dtype and not cfg.device_frontend:
+        # the wire dtype only takes effect on the device-frontend path
+        # (host-spliced loaders always ship float32); silently ignoring
+        # it would hide a config mistake
+        raise ValueError(
+            "wire_dtype=%r requires device_frontend: true — the bf16 wire "
+            "format is only consumed by the on-device splice/skip path"
+            % cfg.wire_dtype)
     return cfg

@@ -66,6 +66,28 @@ def test_all_reduce_report_single_process_noop(committed_triples):
     _reports_equal(rep, out)
 
 
+@pytest.mark.parametrize("procs", [4, 8])
+def test_wraparound_duplicates_not_double_counted(committed_triples, procs):
+    """900 utts over P hosts (900 % 8 != 0): summing each host's report
+    over its *scoring-primary* shard rows reproduces the single-process
+    report exactly.  Without the primary mask, 8 hosts score ceil(900/8)*8
+    = 904 rows — 4 utterances double-counted."""
+    from mdd_tpu.data.prefetch import shard_for_host_primary
+
+    full = score_mdd(committed_triples)
+    total = None
+    scored_rows = 0
+    for p in range(procs):
+        shard, primary = shard_for_host_primary(committed_triples, p, procs)
+        mine = [t for t, pr in zip(shard, primary) if pr]
+        scored_rows += len(shard)
+        vec = report_to_vector(score_mdd(mine))
+        total = vec if total is None else total + vec
+    if 900 % procs:
+        assert scored_rows > 900        # wrap-around padding is real
+    _reports_equal(full, report_from_vector(total))
+
+
 def test_all_reduce_report_simulated_two_hosts(committed_triples,
                                                monkeypatch):
     """Simulate host 0 of a 2-process run: process_allgather returns both

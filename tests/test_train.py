@@ -89,6 +89,32 @@ def test_synthetic_task_learns(tiny_trainer):
     assert acc > 0.6, f"greedy accuracy too low: {acc}"
 
 
+def test_add_weight_noise_perturbs_every_param(tiny_trainer):
+    """Working port of the reference's dead `add_weights_noise`
+    (model_ctc.py:246-249 — never called, and a no-op even if called)."""
+    before = jax.device_get(tiny_trainer.state.params)
+    tiny_trainer.add_weight_noise(std=0.01)
+    after = jax.device_get(tiny_trainer.state.params)
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        diff = np.asarray(a) - np.asarray(b)
+        assert np.any(diff != 0)
+        assert np.abs(diff).max() < 0.1          # noise at the right scale
+    # restore so the module-scoped fixture stays usable by other tests
+    from mdd_tpu.parallel.mesh import replicated
+
+    tiny_trainer.state = jax.device_put(
+        tiny_trainer.state.replace(params=before),
+        replicated(tiny_trainer.mesh))
+
+
+def test_uint8_vocab_guard():
+    cfg = ModelConfig(input_dim=FEAT_DIM, num_class=300,
+                      rnn_hidden_size=8, rnn_layers=1,
+                      text_vocab_size=302)
+    with pytest.raises(AssertionError, match="uint8"):
+        Trainer(cfg)
+
+
 def test_state_is_sharded_over_mesh(tiny_trainer):
     # Params replicated over all 8 virtual devices.
     leaf = jax.tree.leaves(tiny_trainer.state.params)[0]
