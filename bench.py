@@ -179,19 +179,28 @@ def bench_epoch(cfg, extra: dict) -> None:
     """End-to-end epoch throughput INCLUDING the input pipeline.
 
     Synthesizes a corpus with the real TIMIT/L2-ARCTIC length statistics
-    (~3 s utterances), then runs full epochs through the real stack:
-    kaldiio ark reads, SpecAugment + transcript mutation, bucketed
-    batching, threaded prefetch, host->device transfer, jit DP train
-    step.  Uses the production TPU input path — raw bf16 features on the
-    wire, splice/skip on device (tests/test_device_frontend.py pins its
-    bit-equivalence to the host pipeline) — because host->device
-    bandwidth, not compute, bounds this number on remote-attached TPUs.
-    This is the honest number the fixed-shape `value` metric is an upper
-    bound on."""
+    (~3 s utterances), then measures two production input paths:
+
+      * device-resident feature cache (the steady-state path): the corpus
+        is uploaded to HBM once; per-epoch batches are on-device gathers
+        from index vectors, SpecAugment applied as device masking from
+        host-sampled geometry (bit-equivalent to the host pipeline,
+        tests/test_device_cache.py).  Epochs >= 2 move no feature bytes
+        over the host->device link — this is the headline epoch number.
+      * host streaming pipeline (first-epoch/ingest path): kaldiio ark
+        reads, host SpecAugment + mutation, bucketed batching, threaded
+        prefetch, raw-bf16 wire, splice/skip on device.  On a
+        remote-attached TPU the ~43 MB/s link bounds this number.
+
+    NOTE this benchmark uses a num_class=25 model (the synthetic-corpus
+    vocabulary) vs the 43-class flagship of the headline step metric; the
+    epoch numbers are input-path comparisons, not model benchmarks
+    (`epoch_model_num_class` records it)."""
     import tempfile
     from pathlib import Path
 
     from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
+    from mdd_tpu.data.device_cache import CachedLoader, DeviceFeatureCache
     from mdd_tpu.data.prefetch import ThreadedLoader
     from mdd_tpu.data.vocab import Vocab
     from mdd_tpu.frontend import kaldi_io
@@ -199,6 +208,7 @@ def bench_epoch(cfg, extra: dict) -> None:
 
     from tools.synthetic_corpus import PHONES, make_split
 
+    n_epochs = 3
     with tempfile.TemporaryDirectory() as d:
         out = Path(d)
         make_split(out, "train", 1024, seed=0, min_phones=16, max_phones=40)
@@ -209,16 +219,35 @@ def bench_epoch(cfg, extra: dict) -> None:
                            train=True, device_frontend=True)
         audio_s = sum(kaldi_io.load_mat(rx).shape[0]
                       for _, rx, _, _ in ds.items) * 0.01
+        trainer = Trainer(cfg, sample_t=64, sample_l=16,
+                          device_frontend=True)
+        extra["epoch_model_num_class"] = cfg.num_class
+        extra["epoch_audio_s"] = round(audio_s, 1)
+
+        # --- steady-state path: device-resident cache ---
+        cache = DeviceFeatureCache(ds, mesh=trainer.mesh,
+                                   wire_dtype="bfloat16")
+        cloader = CachedLoader(cache, batch_size=256, shuffle=True, seed=0)
+        trainer.run_epoch(cloader, epoch=0, train=True,
+                          log=lambda *_: None)          # compile epoch
+        t0 = time.perf_counter()
+        for e in range(1, n_epochs + 1):
+            trainer.run_epoch(cloader, epoch=e, train=True,
+                              log=lambda *_: None)
+        elapsed = time.perf_counter() - t0
+        rate = n_epochs * audio_s / elapsed / trainer.mesh.devices.size
+        extra["epoch_audio_s_per_s_cached"] = round(rate, 1)
+        extra["epoch_s_cached"] = round(elapsed / n_epochs, 3)
+        extra["cache_mb"] = round(cache.bytes / 2**20, 1)
+
+        # --- ingest path: host streaming pipeline ---
         loader = ThreadedLoader(
             BucketedLoader(ds, batch_size=256, shuffle=True, seed=0,
                            num_workers=8, wire_dtype="bfloat16"),
             prefetch=4)
-        trainer = Trainer(cfg, sample_t=64, sample_l=16,
-                          device_frontend=True)
         trainer.run_epoch(loader, epoch=0, train=True,
                           log=lambda *_: None)          # compile epoch
         t0 = time.perf_counter()
-        n_epochs = 3
         for e in range(1, n_epochs + 1):
             trainer.run_epoch(loader, epoch=e, train=True,
                               log=lambda *_: None)
@@ -226,7 +255,6 @@ def bench_epoch(cfg, extra: dict) -> None:
         rate = n_epochs * audio_s / elapsed / trainer.mesh.devices.size
         extra["epoch_audio_s_per_s_with_pipeline"] = round(rate, 1)
         extra["epoch_s"] = round(elapsed / n_epochs, 3)
-        extra["epoch_audio_s"] = round(audio_s, 1)
 
 
 def main() -> None:

@@ -38,7 +38,7 @@ def _model_config_from_meta(meta: dict):
 
 
 def _build_loader(cfg, vocab, scp, lab, trans, train: bool,
-                  device_fe: bool = False):
+                  device_fe: bool = False, mesh=None):
     import jax
 
     from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
@@ -51,6 +51,21 @@ def _build_loader(cfg, vocab, scp, lab, trans, train: bool,
         train=train, augment_mode=cfg.augment_mode,
         mutation_prob=cfg.mutation_prob,
         device_frontend=device_fe)
+    if device_fe and getattr(cfg, "device_cache", False):
+        # steady-state input path: corpus pinned in HBM, per-epoch batches
+        # are on-device gathers (data.device_cache) — no feature bytes on
+        # the wire after the one-time upload
+        from mdd_tpu.data.device_cache import CachedLoader, DeviceFeatureCache
+
+        cache = DeviceFeatureCache(
+            ds, mesh=mesh, time_quantum=cfg.time_quantum,
+            wire_dtype=cfg.wire_dtype or "bfloat16",
+            num_workers=max(cfg.num_workers, 1))
+        return CachedLoader(cache, cfg.batch_size,
+                            shuffle=train and cfg.shuffle_train,
+                            seed=cfg.seed, label_quantum=cfg.label_quantum,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
     loader = BucketedLoader(ds, cfg.batch_size,
                             shuffle=train and cfg.shuffle_train,
                             seed=cfg.seed, num_workers=cfg.num_workers,
@@ -149,12 +164,6 @@ def cmd_train(args) -> int:
     # train AND dev loaders must both use it (both feed Trainer steps);
     # the eval session (cmd_evaluate) stays host-spliced.
     device_fe = bool(getattr(cfg, "device_frontend", False))
-    train_loader = _build_loader(cfg, vocab, cfg.train_scp_path,
-                                 cfg.train_lab_path, cfg.train_trans_path,
-                                 train=True, device_fe=device_fe)
-    dev_loader = _build_loader(cfg, vocab, cfg.valid_scp_path,
-                               cfg.valid_lab_path, cfg.valid_trans_path,
-                               train=False, device_fe=device_fe)
     trainer = Trainer(
         cfg.model_config(vocab.n_words),
         init_lr=cfg.init_lr, weight_decay=cfg.weight_decay,
@@ -165,6 +174,14 @@ def cmd_train(args) -> int:
         device_frontend=device_fe,
         left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
         n_skip_frame=cfg.n_skip_frame, n_downsample=cfg.n_downsample)
+    train_loader = _build_loader(cfg, vocab, cfg.train_scp_path,
+                                 cfg.train_lab_path, cfg.train_trans_path,
+                                 train=True, device_fe=device_fe,
+                                 mesh=trainer.mesh)
+    dev_loader = _build_loader(cfg, vocab, cfg.valid_scp_path,
+                               cfg.valid_lab_path, cfg.valid_trans_path,
+                               train=False, device_fe=device_fe,
+                               mesh=trainer.mesh)
     summary = trainer.fit(train_loader, dev_loader,
                           num_epochs=cfg.num_epoches,
                           print_every=cfg.verbose_step,

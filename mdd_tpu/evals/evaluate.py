@@ -182,7 +182,16 @@ def format_mdd_report(rep: MddReport, accent_name: str = "mandarin") -> str:
 
 
 class EvalSession:
-    """Jit-compiled batched forward + decoding for evaluation/inference."""
+    """Jit-compiled batched forward + decoding for evaluation/inference.
+
+    The forward is data-parallel like the train step: the batch is
+    sharded over the ('data',) mesh, variables are replicated and passed
+    as an explicit jit argument (not a closure constant — one trace
+    serves every session), and log-probs come back sharded over their
+    batch axis, so eval/decode scale with the mesh exactly as training
+    does.  Ragged batches are padded up to the mesh before the forward
+    and trimmed after.
+    """
 
     def __init__(
         self,
@@ -194,12 +203,25 @@ class EvalSession:
         lm_path: Optional[str] = None,
         lm_alpha: float = 0.0,
         host_beam: bool = False,
+        mesh=None,
     ):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mdd_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                           replicated)
+
         self.cfg = model_cfg
         self.model = CTCAttentionModel(model_cfg)
-        self.variables = variables
+        self.mesh = mesh if mesh is not None else make_mesh()
+        repl = replicated(self.mesh)
+        data = batch_sharding(self.mesh)
+        tbc = NamedSharding(self.mesh, P(None, "data"))  # (T', B, C) axis 1
+        self.variables = jax.device_put(variables, repl)
         self.vocab = vocab
-        self._fwd = jax.jit(self._forward)
+        self._fwd = jax.jit(
+            self._forward,
+            in_shardings=(repl, data, data, data, data),
+            out_shardings=(tbc, data))
         # decode_type semantics follow the reference: anything that is not
         # 'greedy'/'Greedy' selects the beam decoder — including the
         # committed config value "Nono" (test_ctc_nosil.py:135-138).
@@ -219,16 +241,21 @@ class EvalSession:
                     vocab.index2word, beam_width=beam_width, lm=lm,
                     lm_alpha=lm_alpha)
 
-    def _forward(self, inputs, fracs, trans, trsizes):
+    def _forward(self, variables, inputs, fracs, trans, trsizes):
         log_probs = self.model.apply(
-            self.variables, inputs, trans, trsizes, train=False)
+            variables, inputs, trans, trsizes, train=False)
         out_len = log_probs.shape[0]
         frames = (fracs * out_len).astype(jnp.int32)
         return log_probs, frames
 
     def decode_batch(self, batch: Batch) -> Tuple[List[List[str]], np.ndarray]:
         """-> (decoded phone lists, output frame counts)."""
+        n_real = batch.size
+        n_dev = self.mesh.devices.size
+        if n_real % n_dev:
+            batch, _ = pad_batch_to(batch, -(-n_real // n_dev) * n_dev)
         log_probs, frames = self._fwd(
+            self.variables,
             jnp.asarray(batch.inputs), jnp.asarray(batch.input_fracs),
             jnp.asarray(batch.trans), jnp.asarray(batch.trans_sizes))
         frames = np.asarray(frames)
@@ -244,7 +271,7 @@ class EvalSession:
         else:
             probs = np.exp(np.asarray(log_probs)).transpose(1, 0, 2)
             seqs = self.beam.decode(probs, frames.tolist())
-        return [self.vocab.decode(s) for s in seqs], frames
+        return [self.vocab.decode(s) for s in seqs[:n_real]], frames[:n_real]
 
 
 def evaluate_model(

@@ -64,6 +64,34 @@ COMMON_INCORRECT = {
 }
 
 
+def sample_spec_augment_params(
+    t: int,
+    v: int,
+    rng: np.random.Generator,
+    freq_mask_num: int = 1,
+    time_mask_num: int = 1,
+    freq_mask_para: int = 2,
+    time_mask_para: int = 5,
+) -> List[int]:
+    """Draw the SpecAugment mask geometry — exactly the rng consumption of
+    ``spec_augment`` (tools.py:229-255), factored out so the device-cache
+    path (data.device_cache) can sample params on host, ship 4 ints per
+    item, and apply the masks on device while staying bit-identical to the
+    host pipeline (same Generator stream, same draw order).
+
+    Returns [f, f0, ..., w, t0, ...] — (width, start) per freq mask then
+    per time mask.
+    """
+    params: List[int] = []
+    for _ in range(freq_mask_num):
+        f = int(rng.uniform(0.0, freq_mask_para))
+        params += [f, int(rng.integers(0, v - f + 1))]
+    for _ in range(time_mask_num):
+        w = int(rng.uniform(0.0, time_mask_para))
+        params += [w, int(rng.integers(0, t - w + 1))]
+    return params
+
+
 def spec_augment(
     feats: np.ndarray,
     rng: np.random.Generator,
@@ -75,15 +103,36 @@ def spec_augment(
     """Zero out random frequency columns / time rows (tools.py:229-255)."""
     t, v = feats.shape
     out = np.array(feats)
-    for _ in range(freq_mask_num):
-        f = int(rng.uniform(0.0, freq_mask_para))
-        f0 = rng.integers(0, v - f + 1)
+    params = sample_spec_augment_params(
+        t, v, rng, freq_mask_num, time_mask_num,
+        freq_mask_para, time_mask_para)
+    for i in range(freq_mask_num):
+        f, f0 = params[2 * i], params[2 * i + 1]
         out[:, f0:f0 + f] = 0
-    for _ in range(time_mask_num):
-        w = int(rng.uniform(0.0, time_mask_para))
-        t0 = rng.integers(0, t - w + 1)
+    for j in range(time_mask_num):
+        w, t0 = params[2 * (freq_mask_num + j)], params[2 * (freq_mask_num + j) + 1]
         out[t0:t0 + w, :] = 0
     return out
+
+
+def apply_spec_augment_masks(feats: jnp.ndarray, params: jnp.ndarray) -> jnp.ndarray:
+    """Apply host-sampled SpecAugment geometry on device.
+
+    feats: (B, T, D); params: (B, 4) int32 rows [f, f0, w, t0] from
+    ``sample_spec_augment_params`` (the 1-freq + 1-time default of the
+    reference pipeline).  Zeroes feats[:, :, f0:f0+f] and
+    feats[:, t0:t0+w, :] per item — identical entries to the host
+    ``spec_augment``.  All-zero params are a no-op (eval path).
+    """
+    b, t, d = feats.shape
+    f, f0 = params[:, 0], params[:, 1]
+    w, t0 = params[:, 2], params[:, 3]
+    col = jnp.arange(d, dtype=jnp.int32)
+    row = jnp.arange(t, dtype=jnp.int32)
+    fmask = (col[None] >= f0[:, None]) & (col[None] < (f0 + f)[:, None])
+    tmask = (row[None] >= t0[:, None]) & (row[None] < (t0 + w)[:, None])
+    keep = ~(fmask[:, None, :] | tmask[:, :, None])
+    return feats * keep.astype(feats.dtype)
 
 
 def spec_augment_jax(

@@ -41,15 +41,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree, axis: str = "data"):
-    """Device-put every array leaf with its batch axis sharded."""
+    """Device-put every array leaf with its batch axis sharded.
+
+    Single-process: a plain device_put.  Multi-process (real
+    `jax.distributed` runs): each host passes its LOCAL rows and the
+    global array is assembled with `make_array_from_process_local_data`
+    — the global batch is the concatenation of the per-host shards in
+    process order (each host's loader yields its shard_for_host slice,
+    so together they cover the global batch exactly once).
+    """
     sh = batch_sharding(mesh, axis)
+    multiproc = jax.process_count() > 1
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
+            if multiproc:
+                return jax.make_array_from_process_local_data(
+                    sh, np.asarray(x))
             return jax.device_put(x, sh)
         return x
 
     return jax.tree.map(put, tree)
+
+
+def local_shard(x) -> np.ndarray:
+    """Host-local rows of a batch-sharded global array.
+
+    Multi-process arrays are only partially addressable: np.asarray on
+    them raises.  This gathers the process's own shards (ordered by
+    global row offset) — the rows this host contributed via shard_batch.
+    """
+    if not isinstance(x, jax.Array) or jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def all_reduce_metrics(tree):

@@ -29,7 +29,8 @@ from mdd_tpu.data.dataset import Batch, BucketedLoader, pad_batch_to
 from mdd_tpu.decode.greedy import collapse_ctc
 from mdd_tpu.models.ctc_model import CTCAttentionModel, ModelConfig
 from mdd_tpu.ops.ctc_loss import ctc_loss
-from mdd_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from mdd_tpu.parallel.mesh import (batch_sharding, local_shard, make_mesh,
+                                   replicated, shard_batch)
 from mdd_tpu.train.checkpoint import save_checkpoint
 from mdd_tpu.train.plateau import PlateauAction, PlateauScheduler
 
@@ -223,10 +224,74 @@ class Trainer:
                        in_shardings=(repl, (data_sh,) * 7),
                        out_shardings=(repl, data_sh, data_sh))
 
-    def _step_fn(self, train: bool):
-        if train not in self._jit_cache:
-            self._jit_cache[train] = self._make_step(train)
-        return self._jit_cache[train]
+    def _make_cached_step(self, train: bool):
+        """Step over the device-resident feature cache (data.device_cache).
+
+        The batch arrives as an index vector into the HBM-resident bucket
+        array plus label/augmentation metadata — a few KB on the wire
+        instead of the full feature payload.  The gather, SpecAugment
+        masking, splice/skip and the whole train step fuse into one jit
+        program; the cache array itself is a replicated jit argument that
+        never moves after upload.
+        """
+        assert self.device_frontend, (
+            "the device cache stores raw features; construct the Trainer "
+            "with device_frontend=True")
+        from mdd_tpu.frontend.augment import apply_spec_augment_masks
+
+        data_sh = batch_sharding(self.mesh)
+        repl = replicated(self.mesh)
+
+        def gather(cache, idx, lengths, aug, rest):
+            inputs = jnp.take(cache, idx, axis=0)
+            inputs = apply_spec_augment_masks(inputs, aug)
+            fracs = lengths.astype(jnp.float32) / inputs.shape[1]
+            return (inputs, fracs) + tuple(rest)
+
+        if train:
+            def step(state: TrainState, cache, idx, lengths, aug, rest,
+                     dropout_rng):
+                batch_arrays = gather(cache, idx, lengths, aug, rest)
+                (loss, (new_stats, ids, isz)), grads = jax.value_and_grad(
+                    self._loss_and_out, has_aux=True)(
+                        state.params, state.batch_stats, batch_arrays,
+                        dropout_rng, True)
+                updates, new_opt = self.optimizer(
+                    learning_rate=self.scheduler.init_lr).update(
+                        grads, state.opt_state, state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                new_state = state.replace(params=new_params,
+                                          batch_stats=new_stats,
+                                          opt_state=new_opt,
+                                          step=state.step + 1)
+                return new_state, loss, ids, isz
+
+            return jax.jit(
+                step,
+                in_shardings=(repl, repl, data_sh, data_sh, data_sh,
+                              (data_sh,) * 5, repl),
+                out_shardings=(repl, repl, data_sh, data_sh),
+                donate_argnums=(0,))
+
+        def eval_step(state: TrainState, cache, idx, lengths, aug, rest):
+            batch_arrays = gather(cache, idx, lengths, aug, rest)
+            loss, (_, ids, isz) = self._loss_and_out(
+                state.params, state.batch_stats, batch_arrays,
+                jax.random.key(0), False)
+            return loss, ids, isz
+
+        return jax.jit(
+            eval_step,
+            in_shardings=(repl, repl, data_sh, data_sh, data_sh,
+                          (data_sh,) * 5),
+            out_shardings=(repl, data_sh, data_sh))
+
+    def _step_fn(self, train: bool, cached: bool = False):
+        key = (train, cached)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = (self._make_cached_step(train) if cached
+                                    else self._make_step(train))
+        return self._jit_cache[key]
 
     # ------------------------------------------------------------------
     def _batch_arrays(self, batch: Batch, valid: Optional[np.ndarray] = None):
@@ -260,9 +325,22 @@ class Trainer:
         print_every: int = 50,
         log=print,
     ) -> Tuple[float, float]:
-        """-> (acc = 1 - WER, mean loss) — reference run_epoch contract."""
+        """-> (acc = 1 - WER, mean loss) — reference run_epoch contract.
+
+        Accepts either host Batches (BucketedLoader) or CachedBatches
+        (data.device_cache.CachedLoader): cached batches dispatch the
+        gather-from-HBM step so epochs >= 2 move no feature bytes over
+        the host->device link.
+        """
+        from mdd_tpu.data.device_cache import CachedBatch
+
         step_fn = self._step_fn(train)
-        n_dev = self.mesh.devices.size
+        cached_step_fn = None
+        cache = getattr(loader, "cache", None)
+        # per-host row quantum: under a real multi-process run each host
+        # contributes its local rows (shard_batch assembles the global
+        # batch), so padding targets the LOCAL device count
+        n_dev = max(1, self.mesh.devices.size // jax.process_count())
         # pad ragged tails to the loader's full batch size (rounded to the
         # mesh) — padding only to a multiple of n_dev gave every distinct
         # tail size its own jit recompile
@@ -289,31 +367,72 @@ class Trainer:
                         pass
             for loss_d, ids_d, isz_d, tgt, tsz, v in pending:
                 total_loss += float(loss_d)
-                errs, toks = self._wer_counts(ids_d, isz_d, tgt, tsz, v)
+                # multi-process: ids/isz are global arrays — score only
+                # this host's own rows (the global tallies are summed by
+                # the caller via all_reduce when needed)
+                errs, toks = self._wer_counts(
+                    local_shard(ids_d), local_shard(isz_d), tgt, tsz, v)
                 total_errs += errs
                 total_tokens += toks
                 n_batches += 1
             pending.clear()
 
         for i, batch in enumerate(loader):
-            target_b = full_b if full_b and batch.size <= full_b else batch.size
-            padded, valid = pad_batch_to(
-                batch, -(-target_b // n_dev) * n_dev)
-            arrays = self._batch_arrays(padded, valid)
-            if train:
-                self.rng, dropout_rng = jax.random.split(self.rng)
-                self.state, loss, ids, isz = step_fn(
-                    self.state, arrays, dropout_rng)
+            if isinstance(batch, CachedBatch):
+                if cached_step_fn is None:
+                    cached_step_fn = self._step_fn(train, cached=True)
+                assert batch.size % n_dev == 0, (
+                    "CachedLoader batch_size %d must divide the %d-device "
+                    "mesh" % (batch.size, n_dev))
+                valid = batch.valid
+                rest = shard_batch(self.mesh, tuple(
+                    jnp.asarray(a) for a in (
+                        batch.targets, batch.target_sizes, batch.trans,
+                        batch.trans_sizes, np.asarray(valid, bool))))
+                idx, lengths, aug = shard_batch(self.mesh, tuple(
+                    jnp.asarray(a) for a in (batch.idx, batch.lengths,
+                                             batch.aug)))
+                cache_arr = cache.buckets[batch.bucket]
+                if train:
+                    self.rng, dropout_rng = jax.random.split(self.rng)
+                    self.state, loss, ids, isz = cached_step_fn(
+                        self.state, cache_arr, idx, lengths, aug, rest,
+                        dropout_rng)
+                else:
+                    loss, ids, isz = cached_step_fn(
+                        self.state, cache_arr, idx, lengths, aug, rest)
+                pending.append((loss, ids, isz, batch.targets,
+                                batch.target_sizes, valid))
             else:
-                loss, ids, isz = step_fn(self.state, arrays)
-            pending.append((loss, ids, isz, padded.targets,
-                            padded.target_sizes, valid))
+                target_b = (full_b if full_b and batch.size <= full_b
+                            else batch.size)
+                padded, valid = pad_batch_to(
+                    batch, -(-target_b // n_dev) * n_dev)
+                arrays = self._batch_arrays(padded, valid)
+                if train:
+                    self.rng, dropout_rng = jax.random.split(self.rng)
+                    self.state, loss, ids, isz = step_fn(
+                        self.state, arrays, dropout_rng)
+                else:
+                    loss, ids, isz = step_fn(self.state, arrays)
+                pending.append((loss, ids, isz, padded.targets,
+                                padded.target_sizes, valid))
             if train and (i + 1) % print_every == 0:
                 flush()
                 log("Epoch = %d, step = %d, total_loss = %.4f, total_wer = %.4f"
                     % (epoch, i + 1, total_loss / n_batches,
                        total_errs / max(1, total_tokens)))
         flush()
+        if jax.process_count() > 1:
+            # sum the host-local WER tallies so every host computes the
+            # same acc (it drives the plateau scheduler — per-host
+            # divergence would desynchronize the LR across hosts; the
+            # per-step loss is already a global mean via the jit psum)
+            from mdd_tpu.parallel.mesh import all_reduce_metrics
+
+            total_errs, total_tokens = (
+                int(v) for v in all_reduce_metrics(
+                    np.asarray([total_errs, total_tokens], np.int64)))
         avg_loss = total_loss / max(1, n_batches)
         wer = total_errs / max(1, total_tokens)
         log("Epoch %d %s done, total_loss: %.4f, total_wer: %.4f"

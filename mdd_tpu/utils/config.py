@@ -97,6 +97,12 @@ class Config:
     # (tests/test_device_frontend.py).
     device_frontend: bool = False
     wire_dtype: str = ""        # "" = float32; "bfloat16" halves transfer
+    # device_cache: upload the whole (bf16) feature corpus to HBM once and
+    # form batches as on-device gathers — epochs >= 2 move no feature
+    # bytes over the host->device link (data.device_cache; bit-equivalent
+    # to the host pipeline, tests/test_device_cache.py).  Requires
+    # device_frontend.
+    device_cache: bool = False
 
     # decoding
     decode_type: str = "Beam"     # reference quirk: anything != 'Greedy' -> Beam
@@ -147,4 +153,8 @@ def load_config(path: str) -> Config:
             "wire_dtype=%r requires device_frontend: true — the bf16 wire "
             "format is only consumed by the on-device splice/skip path"
             % cfg.wire_dtype)
+    if cfg.device_cache and not cfg.device_frontend:
+        raise ValueError(
+            "device_cache: true requires device_frontend: true — the cache "
+            "stores raw features and relies on on-device splice/skip")
     return cfg

@@ -193,3 +193,33 @@ def test_cli_infer_forgiving_ipa_flags(workdir, tiny_conf, reference_dir,
     assert "score  :" in out
     # canonical row for "about" (ah0 b aw t) rendered as IPA
     assert "ə" in out or "aʊ" in out
+
+
+def test_cli_train_device_cache(workdir, tiny_conf, capsys):
+    """`train` with device_cache: true runs the HBM-resident input path
+    end-to-end (cache build, CachedLoader train+dev epochs, checkpoint)."""
+    import re
+    import textwrap
+
+    conf = workdir / "conf_cache.yaml"
+    conf.write_text(tiny_conf.read_text() + textwrap.dedent("""\
+        device_frontend: true
+        wire_dtype: bfloat16
+        device_cache: true
+        exp_name: tiny_cache
+    """))
+    assert main(["train", "--conf", str(conf)]) == 0
+    assert (workdir / "ckpt" / "tiny_cache" / "best").exists()
+    out = capsys.readouterr().out
+    losses = [float(m) for m in re.findall(
+        r"Train done, total_loss: ([\d.]+)", out)]
+    assert len(losses) >= 2 and losses[-1] < losses[0], losses
+
+
+def test_config_device_cache_requires_frontend(tmp_path):
+    from mdd_tpu.utils.config import load_config
+
+    conf = tmp_path / "bad.yaml"
+    conf.write_text("device_cache: true\n")
+    with pytest.raises(ValueError, match="device_cache"):
+        load_config(str(conf))

@@ -1,0 +1,209 @@
+"""Device-resident feature cache: bit-equivalence to the host pipeline.
+
+The cache (data.device_cache) uploads raw features to device memory once
+and forms batches as on-device gathers; SpecAugment geometry and
+transcript mutation are drawn from the same per-item Generator key and in
+the same order as SpeechDataset.load_item, so the masked features and the
+mutated transcripts must be bit-identical to what the host pipeline would
+have shipped — pinned here at the feature level, the loader level, and
+through a full Trainer epoch.
+"""
+
+import numpy as np
+import pytest
+
+from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset, _round_up
+from mdd_tpu.data.device_cache import CachedLoader, DeviceFeatureCache
+from mdd_tpu.data.vocab import Vocab
+from mdd_tpu.frontend.augment import (apply_spec_augment_masks,
+                                      mutate_transcript, spec_augment)
+
+
+def _write_corpus(tmp_path, n=10, seed=0, t_range=(40, 260)):
+    from mdd_tpu.frontend import kaldi_io
+
+    rng = np.random.default_rng(seed)
+    phones = ["sil", "aa", "b", "k", "iy", "t"]
+    with kaldi_io.ArkScpWriter(str(tmp_path / "f.ark"),
+                               str(tmp_path / "f.scp")) as w, \
+            open(tmp_path / "lab", "w") as lab, \
+            open(tmp_path / "trn", "w") as trn:
+        for i in range(n):
+            utt = f"u{i}"
+            t = int(rng.integers(*t_range))
+            w.write(utt, rng.standard_normal((t, 81)).astype(np.float32))
+            seq = " ".join(rng.choice(phones[1:], size=6))
+            lab.write(f"{utt} {seq}\n")
+            trn.write(f"{utt} {seq}\n")
+    return phones
+
+
+def _dataset(tmp_path, phones, train=True):
+    return SpeechDataset(Vocab(phones), str(tmp_path / "f.scp"),
+                         str(tmp_path / "lab"), str(tmp_path / "trn"),
+                         train=train, device_frontend=True)
+
+
+def test_cached_batch_features_bit_equal(tmp_path):
+    """Gather + on-device mask == host spec_augment, item by item."""
+    phones = _write_corpus(tmp_path)
+    ds = _dataset(tmp_path, phones)
+    cache = DeviceFeatureCache(ds, time_quantum=16, wire_dtype="float32")
+    loader = CachedLoader(cache, batch_size=4, shuffle=False, seed=3)
+
+    seen = set()
+    epoch = loader._epoch
+    for batch in loader:
+        arr = np.asarray(cache.buckets[batch.bucket])
+        feats = np.asarray(apply_spec_augment_masks(
+            arr[batch.idx], batch.aug))
+        for k in range(batch.size):
+            if not batch.valid[k]:
+                continue
+            utt = batch.utt_ids[k]
+            i = next(j for j, it in enumerate(ds.items) if it[0] == utt)
+            seen.add(i)
+            irng = np.random.default_rng((loader.seed + epoch, i))
+            raw, _, trans_host, _ = ds.load_item(i, irng)
+            t = raw.shape[0]
+            assert int(batch.lengths[k]) == t
+            want = np.zeros_like(feats[k])
+            want[:t] = raw
+            np.testing.assert_array_equal(feats[k], want)
+            # transcript mutation drew from the same stream
+            got_trans = list(batch.trans[k][: batch.trans_sizes[k]])
+            assert got_trans == trans_host
+    assert seen == set(range(len(ds)))
+
+
+def test_cached_bf16_wire_matches(tmp_path):
+    import ml_dtypes
+
+    phones = _write_corpus(tmp_path, n=4)
+    ds = _dataset(tmp_path, phones, train=False)
+    cache = DeviceFeatureCache(ds, time_quantum=16, wire_dtype="bfloat16")
+    loader = CachedLoader(cache, batch_size=2, shuffle=False)
+    for batch in loader:
+        arr = np.asarray(cache.buckets[batch.bucket])
+        assert arr.dtype == ml_dtypes.bfloat16
+        for k in range(batch.size):
+            if not batch.valid[k]:
+                continue
+            utt = batch.utt_ids[k]
+            i = next(j for j, it in enumerate(ds.items) if it[0] == utt)
+            raw, _, _, _ = ds.load_item(i, None)
+            np.testing.assert_array_equal(
+                arr[batch.idx[k], : raw.shape[0]],
+                raw.astype(ml_dtypes.bfloat16))
+
+
+def test_cached_trainer_epoch_equivalent(tmp_path):
+    """Two full train epochs: cached loader == host loader, loss + WER.
+
+    All utterances share one length so both loaders form identical
+    batches; everything else (augmentation streams, dropout splits,
+    masking, splice) must then line up exactly.
+    """
+    from mdd_tpu.models.ctc_model import ModelConfig
+    from mdd_tpu.train.loop import Trainer
+
+    phones = _write_corpus(tmp_path, n=8, t_range=(96, 97))
+    vocab = Vocab(phones)
+    cfg = ModelConfig(input_dim=243, num_class=vocab.n_words,
+                      rnn_hidden_size=16, rnn_layers=1, text_embed_size=8)
+
+    results = {}
+    for use_cache in (False, True):
+        ds = _dataset(tmp_path, phones, train=True)
+        if use_cache:
+            cache = DeviceFeatureCache(ds, time_quantum=16,
+                                       wire_dtype="float32")
+            loader = CachedLoader(cache, batch_size=8, shuffle=False, seed=0)
+        else:
+            loader = BucketedLoader(ds, batch_size=8, shuffle=False, seed=0,
+                                    time_quantum=16)
+        trainer = Trainer(cfg, seed=7, sample_t=16, sample_l=4,
+                          device_frontend=True)
+        out = []
+        for epoch in (1, 2):
+            acc, loss = trainer.run_epoch(loader, epoch=epoch, train=True,
+                                          log=lambda *_: None)
+            out.append((acc, loss))
+        results[use_cache] = out
+    for (acc_h, loss_h), (acc_c, loss_c) in zip(results[False],
+                                                results[True]):
+        np.testing.assert_allclose(loss_c, loss_h, rtol=1e-5, atol=1e-6)
+        assert acc_c == acc_h
+
+
+def test_cached_eval_epoch(tmp_path):
+    """Eval (train=False) over the cache: no augmentation, loss matches."""
+    from mdd_tpu.models.ctc_model import ModelConfig
+    from mdd_tpu.train.loop import Trainer
+
+    phones = _write_corpus(tmp_path, n=6, t_range=(64, 65))
+    vocab = Vocab(phones)
+    cfg = ModelConfig(input_dim=243, num_class=vocab.n_words,
+                      rnn_hidden_size=16, rnn_layers=1, text_embed_size=8)
+    losses = {}
+    for use_cache in (False, True):
+        ds = _dataset(tmp_path, phones, train=False)
+        if use_cache:
+            cache = DeviceFeatureCache(ds, time_quantum=16,
+                                       wire_dtype="float32")
+            loader = CachedLoader(cache, batch_size=8, shuffle=False)
+        else:
+            loader = BucketedLoader(ds, batch_size=8, shuffle=False,
+                                    time_quantum=16)
+        trainer = Trainer(cfg, seed=7, sample_t=16, sample_l=4,
+                          device_frontend=True)
+        _, losses[use_cache] = trainer.run_epoch(
+            loader, epoch=1, train=False, log=lambda *_: None)
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cached_ragged_tail_padded(tmp_path):
+    """A bucket with a ragged tail pads to full batch_size, valid=False."""
+    phones = _write_corpus(tmp_path, n=5, t_range=(50, 51))
+    ds = _dataset(tmp_path, phones, train=False)
+    cache = DeviceFeatureCache(ds, time_quantum=16, wire_dtype="float32")
+    loader = CachedLoader(cache, batch_size=4, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    # batches are padded up to the mesh's row quantum (8 virtual devices)
+    assert all(b.size == loader._pad_to for b in batches)
+    assert loader._pad_to % 4 == 0
+    assert int(sum(b.valid.sum() for b in batches)) == 5
+    tail = batches[-1]
+    assert tail.valid[0] and not tail.valid[1:].any()
+    # padding repeats the last real row
+    assert tail.idx[1] == tail.idx[0]
+
+
+def test_cached_multihost_primaries(tmp_path):
+    """5 items over 2 hosts: equal batch counts, each item primary once."""
+    phones = _write_corpus(tmp_path, n=5, t_range=(50, 51))
+    ds = _dataset(tmp_path, phones, train=False)
+    cache = DeviceFeatureCache(ds, time_quantum=16, wire_dtype="float32")
+    loaders = [CachedLoader(cache, batch_size=2, shuffle=False,
+                            process_index=p, process_count=2)
+               for p in range(2)]
+    assert len(loaders[0]) == len(loaders[1])
+    primaries = []
+    for ld in loaders:
+        for b in ld:
+            for k in range(b.size):
+                if b.score_mask[k]:
+                    primaries.append(b.utt_ids[k])
+    assert sorted(primaries) == sorted(it[0] for it in ds.items)
+
+
+def test_cache_shuffle_covers_all_items(tmp_path):
+    phones = _write_corpus(tmp_path, n=9)
+    ds = _dataset(tmp_path, phones)
+    cache = DeviceFeatureCache(ds, time_quantum=16, wire_dtype="float32")
+    loader = CachedLoader(cache, batch_size=4, shuffle=True, seed=11)
+    for _ in range(2):   # two epochs: permutations differ, coverage holds
+        seen = [u for b in loader for u, v in zip(b.utt_ids, b.valid) if v]
+        assert sorted(seen) == sorted(it[0] for it in ds.items)
