@@ -66,12 +66,14 @@ g = jax.jit(jax.grad(loss_fn))
 timeit("forward+loss+backward", lambda: g(state.params))
 
 # full step
+from mdd_tpu.parallel.mesh import replicated
 step_fn = trainer._step_fn(True)
 st = trainer.state
+acc = jax.device_put(jnp.zeros(4, jnp.float32), replicated(trainer.mesh))
 def full():
-    global st
-    st, loss, ids, isz = step_fn(st, arrays, jax.random.key(1))
-    return loss
+    global st, acc
+    st, acc = step_fn(st, arrays, jax.random.key(1), acc)
+    return acc
 timeit("full train step", full)
 
 # LSTM-only microbench: 4 layers worth, pallas vs scan

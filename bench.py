@@ -101,23 +101,28 @@ def bench_train(cfg, extra: dict) -> float:
         utt_ids=[f"utt{i}" for i in range(BATCH)],
     )
 
+    import jax.numpy as jnp
+    from mdd_tpu.parallel.mesh import replicated
+
     step_fn = trainer._step_fn(True)
     arrays = trainer._batch_arrays(batch)
+    acc = jax.device_put(jnp.zeros(4, jnp.float32),
+                         replicated(trainer.mesh))
     for _ in range(WARMUP_STEPS):
         trainer.rng, dropout_rng = jax.random.split(trainer.rng)
-        trainer.state, loss, ids, isz = step_fn(trainer.state, arrays,
-                                                dropout_rng)
-    float(loss)  # NOTE: block_until_ready does not actually block on the
-    # axon remote platform; only a value fetch forces completion.  The
-    # final fetch below serializes the whole donated-state step chain, so
-    # elapsed covers every step's real device time.
+        trainer.state, acc = step_fn(trainer.state, arrays, dropout_rng,
+                                     acc)
+    float(acc[0])  # NOTE: block_until_ready does not actually block on
+    # the axon remote platform; only a value fetch forces completion.
+    # The final fetch below serializes the whole donated-state step
+    # chain, so elapsed covers every step's real device time.
 
     t0 = time.perf_counter()
     for _ in range(BENCH_STEPS):
         trainer.rng, dropout_rng = jax.random.split(trainer.rng)
-        trainer.state, loss, ids, isz = step_fn(trainer.state, arrays,
-                                                dropout_rng)
-    assert float(loss) > 0.0
+        trainer.state, acc = step_fn(trainer.state, arrays, dropout_rng,
+                                     acc)
+    assert float(acc[0]) > 0.0
     elapsed = time.perf_counter() - t0
 
     ms_per_step = elapsed / BENCH_STEPS * 1e3

@@ -37,6 +37,23 @@ from mdd_tpu.ops.attention import dot_attention
 from mdd_tpu.ops.lstm import bilstm
 
 
+class _Dropout(nn.Module):
+    """nn.Dropout, or the fused TPU-PRNG kernel when `fused` is set."""
+
+    rate: float
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if not train or self.rate <= 0.0:
+            return x
+        if self.fused:
+            from mdd_tpu.ops.dropout_pallas import fused_dropout
+
+            return fused_dropout(x, self.make_rng("dropout"), self.rate)
+        return nn.Dropout(self.rate, deterministic=False)(x)
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     input_dim: int = 243               # spliced feature dim (81 * 3)
@@ -55,6 +72,9 @@ class ModelConfig:
     use_pallas_lstm: bool = False      # fused Pallas recurrence (ops/lstm_pallas.py):
     # bit-identical forward, hand-written backward kernel ~1.7x faster
     # than scan autodiff on TPU
+    use_fused_dropout: bool = False    # in-kernel TPU-PRNG dropout masks
+    # (ops/dropout_pallas.py): no mask/bits tensors in HBM; backward
+    # regenerates the mask from the saved 32-bit seed
 
     @property
     def time_downsample(self) -> int:
@@ -91,6 +111,7 @@ class BiLstmLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fused_dropout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -129,7 +150,8 @@ class BiLstmLayer(nn.Module):
             rnn = bilstm_pallas
         y = rnn(x.swapaxes(0, 1), w_ih_f, w_hh_f, w_ih_b, w_hh_b, b_f, b_b)
         y = y.swapaxes(0, 1)  # (B, T, 2H)
-        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = _Dropout(self.dropout, fused=self.fused_dropout,
+                     name="drop")(y, train)
         return y
 
 
@@ -157,7 +179,8 @@ class ConvSubsampler(nn.Module):
                              dtype=self.dtype,
                              name=f"bn{i}")(x, mask=bn_mask)
             x = nn.relu(x)
-            x = nn.Dropout(cfg.dropout, deterministic=not train)(x)
+            x = _Dropout(cfg.dropout, fused=cfg.use_fused_dropout,
+                         name=f"drop{i}")(x, train)
         b, t, f, c = x.shape
         return x.reshape(b, t, f * c)
 
@@ -217,6 +240,7 @@ class CTCAttentionModel(nn.Module):
             x = BiLstmLayer(cfg.rnn_hidden_size, use_batch_norm=(i > 0),
                             use_bias=False, dropout=cfg.dropout, dtype=dtype,
                             use_pallas=cfg.use_pallas_lstm,
+                            fused_dropout=cfg.use_fused_dropout,
                             name=f"rnn{i}")(x, train, sample_mask)
         # x: (B, T', 768)
 

@@ -26,15 +26,12 @@ import numpy as np
 import optax
 
 from mdd_tpu.data.dataset import Batch, BucketedLoader, pad_batch_to
-from mdd_tpu.decode.greedy import collapse_ctc
 from mdd_tpu.models.ctc_model import CTCAttentionModel, ModelConfig
 from mdd_tpu.ops.ctc_loss import ctc_loss
-from mdd_tpu.parallel.mesh import (batch_sharding, local_shard, make_mesh,
+from mdd_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                    replicated, shard_batch)
 from mdd_tpu.train.checkpoint import save_checkpoint
 from mdd_tpu.train.plateau import PlateauAction, PlateauScheduler
-
-from mdd_tpu.align.levenshtein import edit_distance
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -90,11 +87,6 @@ class Trainer:
         self.n_skip_frame, self.n_downsample = n_skip_frame, n_downsample
         self.weight_noise_std = weight_noise_std
         self.model_cfg = model_cfg
-        # _loss_and_out ships greedy ids as uint8 (quarters the
-        # device->host fetch); a >255-class vocab would silently wrap
-        assert model_cfg.num_class <= 255, (
-            "num_class %d > 255 breaks the uint8 train-WER fetch"
-            % model_cfg.num_class)
         if device_frontend:
             # the splice geometry must reproduce the model's input dim:
             # raw D * (left+1+right) — catches a caller that enabled the
@@ -183,18 +175,33 @@ class Trainer:
         maskf = mask.astype(nll.dtype)
         # CTCLoss(sum) / true batch size — reference train_ctc.py:72-74.
         loss = jnp.sum(nll * maskf) / jnp.maximum(jnp.sum(maskf), 1.0)
-        # greedy ids for train-WER (host collapses them); uint8 quarters
-        # the device->host fetch (num_class <= 255 always holds here)
-        ids = jnp.argmax(log_probs, axis=-1).swapaxes(0, 1).astype(jnp.uint8)
-        return loss, (new_stats, ids, input_sizes)
+        # greedy train-WER entirely on device (ops/wer.py): collapse +
+        # batched Levenshtein in-graph, so the step emits two scalars
+        # instead of a (B, T') id tensor — fetching ids off a
+        # remote-attached TPU cost ~100 ms/step of round-trips
+        from mdd_tpu.ops.wer import greedy_wer_counts
+
+        ids = jnp.argmax(log_probs, axis=-1).swapaxes(0, 1)
+        errs, tokens = greedy_wer_counts(ids, input_sizes, targets,
+                                         tsizes, mask)
+        return loss, (new_stats, errs, tokens)
+
+    @staticmethod
+    def _acc_update(acc, loss, errs, tokens):
+        # device-resident metric accumulator (4,) float32:
+        # [loss_sum, wer_errors, wer_tokens, n_batches] — fetched once
+        # per print boundary / epoch instead of per step
+        return acc + jnp.stack([loss, errs.astype(jnp.float32),
+                                tokens.astype(jnp.float32),
+                                jnp.float32(1.0)])
 
     def _make_step(self, train: bool):
         data_sh = batch_sharding(self.mesh)
         repl = replicated(self.mesh)
 
         if train:
-            def step(state: TrainState, batch_arrays, dropout_rng):
-                (loss, (new_stats, ids, isz)), grads = jax.value_and_grad(
+            def step(state: TrainState, batch_arrays, dropout_rng, acc):
+                (loss, (new_stats, errs, tokens)), grads = jax.value_and_grad(
                     self._loss_and_out, has_aux=True)(
                         state.params, state.batch_stats, batch_arrays,
                         dropout_rng, True)
@@ -206,23 +213,24 @@ class Trainer:
                                           batch_stats=new_stats,
                                           opt_state=new_opt,
                                           step=state.step + 1)
-                return new_state, loss, ids, isz
+                return new_state, self._acc_update(acc, loss, errs, tokens)
 
             return jax.jit(
                 step,
-                in_shardings=(repl, (data_sh,) * 7, repl),
-                out_shardings=(repl, repl, data_sh, data_sh),
-                donate_argnums=(0,))
+                in_shardings=(repl, (data_sh,) * 7, repl, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0, 3))
 
-        def eval_step(state: TrainState, batch_arrays):
-            loss, (_, ids, isz) = self._loss_and_out(
+        def eval_step(state: TrainState, batch_arrays, acc):
+            loss, (_, errs, tokens) = self._loss_and_out(
                 state.params, state.batch_stats, batch_arrays,
                 jax.random.key(0), False)
-            return loss, ids, isz
+            return self._acc_update(acc, loss, errs, tokens)
 
         return jax.jit(eval_step,
-                       in_shardings=(repl, (data_sh,) * 7),
-                       out_shardings=(repl, data_sh, data_sh))
+                       in_shardings=(repl, (data_sh,) * 7, repl),
+                       out_shardings=repl,
+                       donate_argnums=(2,))
 
     def _make_cached_step(self, train: bool):
         """Step over the device-resident feature cache (data.device_cache).
@@ -250,9 +258,9 @@ class Trainer:
 
         if train:
             def step(state: TrainState, cache, idx, lengths, aug, rest,
-                     dropout_rng):
+                     dropout_rng, acc):
                 batch_arrays = gather(cache, idx, lengths, aug, rest)
-                (loss, (new_stats, ids, isz)), grads = jax.value_and_grad(
+                (loss, (new_stats, errs, tokens)), grads = jax.value_and_grad(
                     self._loss_and_out, has_aux=True)(
                         state.params, state.batch_stats, batch_arrays,
                         dropout_rng, True)
@@ -264,27 +272,29 @@ class Trainer:
                                           batch_stats=new_stats,
                                           opt_state=new_opt,
                                           step=state.step + 1)
-                return new_state, loss, ids, isz
+                return new_state, self._acc_update(acc, loss, errs, tokens)
 
             return jax.jit(
                 step,
                 in_shardings=(repl, repl, data_sh, data_sh, data_sh,
-                              (data_sh,) * 5, repl),
-                out_shardings=(repl, repl, data_sh, data_sh),
-                donate_argnums=(0,))
+                              (data_sh,) * 5, repl, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0, 7))
 
-        def eval_step(state: TrainState, cache, idx, lengths, aug, rest):
+        def eval_step(state: TrainState, cache, idx, lengths, aug, rest,
+                      acc):
             batch_arrays = gather(cache, idx, lengths, aug, rest)
-            loss, (_, ids, isz) = self._loss_and_out(
+            loss, (_, errs, tokens) = self._loss_and_out(
                 state.params, state.batch_stats, batch_arrays,
                 jax.random.key(0), False)
-            return loss, ids, isz
+            return self._acc_update(acc, loss, errs, tokens)
 
         return jax.jit(
             eval_step,
             in_shardings=(repl, repl, data_sh, data_sh, data_sh,
-                          (data_sh,) * 5),
-            out_shardings=(repl, data_sh, data_sh))
+                          (data_sh,) * 5, repl),
+            out_shardings=repl,
+            donate_argnums=(6,))
 
     def _step_fn(self, train: bool, cached: bool = False):
         key = (train, cached)
@@ -301,21 +311,6 @@ class Trainer:
                   batch.target_sizes, batch.trans, batch.trans_sizes,
                   np.asarray(valid, bool))
         return shard_batch(self.mesh, tuple(jnp.asarray(a) for a in arrays))
-
-    @staticmethod
-    def _wer_counts(ids, input_sizes, targets, target_sizes, valid) -> Tuple[int, int]:
-        errs, tokens = 0, 0
-        ids = np.asarray(ids)
-        input_sizes = np.asarray(input_sizes)
-        for i in range(ids.shape[0]):
-            if not valid[i]:
-                continue
-            pred = collapse_ctc(ids[i], int(input_sizes[i]))
-            label = list(targets[i][: int(target_sizes[i])])
-            dist, _ = edit_distance(label, pred)
-            errs += dist
-            tokens += len(label)
-        return errs, tokens
 
     def run_epoch(
         self,
@@ -345,37 +340,23 @@ class Trainer:
         # mesh) — padding only to a multiple of n_dev gave every distinct
         # tail size its own jit recompile
         full_b = getattr(loader, "batch_size", None)
-        total_loss, total_errs, total_tokens, n_batches = 0.0, 0, 0, 0
-        # Per-step outputs are kept as device arrays and fetched lazily:
-        # a float(loss)/np.asarray(ids) per step forces a device sync that
-        # serializes the host input pipeline against device compute (and
-        # costs a full round-trip on remote-TPU platforms).  Fetching only
-        # at print_every boundaries and at epoch end lets dispatch run
-        # ahead of the loader.
-        pending: list = []
+        # Metrics live in a device-resident (4,) accumulator
+        # [loss_sum, wer_errs, wer_tokens, n_batches] updated inside the
+        # jit step (greedy WER included — ops/wer.py): the epoch loop is
+        # pure dispatch, with exactly one device->host fetch per
+        # print_every boundary and one at epoch end.  On remote-attached
+        # TPUs per-step fetches cost ~100 ms of round trips — more than
+        # the 48 ms step itself.  Under multi-process runs the in-graph
+        # sums already span the global batch, so the fetched metrics are
+        # identical on every host (the plateau scheduler stays in sync).
+        acc = jax.device_put(jnp.zeros(4, jnp.float32),
+                             replicated(self.mesh))
 
-        def flush():
-            nonlocal total_loss, total_errs, total_tokens, n_batches
-            # start all device->host copies before consuming any: each
-            # synchronous fetch pays a full network round trip on
-            # remote-attached TPUs (~23 ms here), async copies overlap
-            for loss_d, ids_d, isz_d, _, _, _ in pending:
-                for a in (loss_d, ids_d, isz_d):
-                    try:
-                        a.copy_to_host_async()
-                    except (AttributeError, RuntimeError):
-                        pass
-            for loss_d, ids_d, isz_d, tgt, tsz, v in pending:
-                total_loss += float(loss_d)
-                # multi-process: ids/isz are global arrays — score only
-                # this host's own rows (the global tallies are summed by
-                # the caller via all_reduce when needed)
-                errs, toks = self._wer_counts(
-                    local_shard(ids_d), local_shard(isz_d), tgt, tsz, v)
-                total_errs += errs
-                total_tokens += toks
-                n_batches += 1
-            pending.clear()
+        def fetch(a):
+            vals = np.asarray(jax.device_get(a))
+            loss_sum, errs, tokens, n_b = (float(v) for v in vals)
+            return (loss_sum / max(1.0, n_b), errs / max(1.0, tokens),
+                    n_b)
 
         for i, batch in enumerate(loader):
             if isinstance(batch, CachedBatch):
@@ -384,25 +365,23 @@ class Trainer:
                 assert batch.size % n_dev == 0, (
                     "CachedLoader batch_size %d must divide the %d-device "
                     "mesh" % (batch.size, n_dev))
-                valid = batch.valid
                 rest = shard_batch(self.mesh, tuple(
                     jnp.asarray(a) for a in (
                         batch.targets, batch.target_sizes, batch.trans,
-                        batch.trans_sizes, np.asarray(valid, bool))))
+                        batch.trans_sizes, np.asarray(batch.valid, bool))))
                 idx, lengths, aug = shard_batch(self.mesh, tuple(
                     jnp.asarray(a) for a in (batch.idx, batch.lengths,
                                              batch.aug)))
                 cache_arr = cache.buckets[batch.bucket]
                 if train:
                     self.rng, dropout_rng = jax.random.split(self.rng)
-                    self.state, loss, ids, isz = cached_step_fn(
+                    self.state, acc = cached_step_fn(
                         self.state, cache_arr, idx, lengths, aug, rest,
-                        dropout_rng)
+                        dropout_rng, acc)
                 else:
-                    loss, ids, isz = cached_step_fn(
-                        self.state, cache_arr, idx, lengths, aug, rest)
-                pending.append((loss, ids, isz, batch.targets,
-                                batch.target_sizes, valid))
+                    acc = cached_step_fn(
+                        self.state, cache_arr, idx, lengths, aug, rest,
+                        acc)
             else:
                 target_b = (full_b if full_b and batch.size <= full_b
                             else batch.size)
@@ -411,30 +390,16 @@ class Trainer:
                 arrays = self._batch_arrays(padded, valid)
                 if train:
                     self.rng, dropout_rng = jax.random.split(self.rng)
-                    self.state, loss, ids, isz = step_fn(
-                        self.state, arrays, dropout_rng)
+                    self.state, acc = step_fn(self.state, arrays,
+                                              dropout_rng, acc)
                 else:
-                    loss, ids, isz = step_fn(self.state, arrays)
-                pending.append((loss, ids, isz, padded.targets,
-                                padded.target_sizes, valid))
+                    acc = step_fn(self.state, arrays, acc)
             if train and (i + 1) % print_every == 0:
-                flush()
+                avg, wer, _ = fetch(acc)
                 log("Epoch = %d, step = %d, total_loss = %.4f, total_wer = %.4f"
-                    % (epoch, i + 1, total_loss / n_batches,
-                       total_errs / max(1, total_tokens)))
-        flush()
-        if jax.process_count() > 1:
-            # sum the host-local WER tallies so every host computes the
-            # same acc (it drives the plateau scheduler — per-host
-            # divergence would desynchronize the LR across hosts; the
-            # per-step loss is already a global mean via the jit psum)
-            from mdd_tpu.parallel.mesh import all_reduce_metrics
+                    % (epoch, i + 1, avg, wer))
 
-            total_errs, total_tokens = (
-                int(v) for v in all_reduce_metrics(
-                    np.asarray([total_errs, total_tokens], np.int64)))
-        avg_loss = total_loss / max(1, n_batches)
-        wer = total_errs / max(1, total_tokens)
+        avg_loss, wer, _ = fetch(acc)
         log("Epoch %d %s done, total_loss: %.4f, total_wer: %.4f"
             % (epoch, "Train" if train else "Valid", avg_loss, wer))
         return 1.0 - wer, avg_loss

@@ -138,9 +138,19 @@ def test_eval_step_masks_padding_loss():
     """Eval loss of a padded batch equals eval loss of the true batch."""
     cfg = _small_cfg()
     batch3 = _batch(3, cfg)
+    import jax
+    import jax.numpy as jnp
+
+    from mdd_tpu.parallel.mesh import replicated
+
     t1 = Trainer(cfg, n_devices=1, seed=7, sample_t=32, sample_l=6)
     eval_fn = t1._step_fn(False)
-    loss_true, _, _ = eval_fn(t1.state, t1._batch_arrays(batch3))
+    zeros = lambda: jax.device_put(jnp.zeros(4, jnp.float32),
+                                   replicated(t1.mesh))
+    acc_true = eval_fn(t1.state, t1._batch_arrays(batch3), zeros())
     padded, valid = pad_batch_to(batch3, 8)
-    loss_pad, _, _ = eval_fn(t1.state, t1._batch_arrays(padded, valid))
-    assert np.isclose(float(loss_true), float(loss_pad), atol=1e-5)
+    acc_pad = eval_fn(t1.state, t1._batch_arrays(padded, valid), zeros())
+    assert np.isclose(float(acc_true[0]), float(acc_pad[0]), atol=1e-5)
+    # WER tallies must also ignore the padding rows
+    assert float(acc_true[1]) == float(acc_pad[1])
+    assert float(acc_true[2]) == float(acc_pad[2])

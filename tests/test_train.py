@@ -107,12 +107,25 @@ def test_add_weight_noise_perturbs_every_param(tiny_trainer):
         replicated(tiny_trainer.mesh))
 
 
-def test_uint8_vocab_guard():
+def test_large_vocab_trains():
+    """>255-class vocabs are supported: the old uint8 train-WER fetch is
+    gone (WER now computed on device in int32, ops/wer.py)."""
     cfg = ModelConfig(input_dim=FEAT_DIM, num_class=300,
                       rnn_hidden_size=8, rnn_layers=1,
                       text_vocab_size=302)
-    with pytest.raises(AssertionError, match="uint8"):
-        Trainer(cfg)
+    trainer = Trainer(cfg, sample_t=8, sample_l=4)
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        inputs=rng.standard_normal((8, 8, FEAT_DIM)).astype(np.float32),
+        input_fracs=np.ones(8, np.float32),
+        targets=rng.integers(2, 300, (8, 4)).astype(np.int32),
+        target_sizes=np.full(8, 4, np.int32),
+        trans=rng.integers(2, 300, (8, 4)).astype(np.int32),
+        trans_sizes=np.full(8, 4, np.int32),
+        utt_ids=[f"u{i}" for i in range(8)])
+    acc, loss = trainer.run_epoch([batch], epoch=1, train=True,
+                                  log=lambda *_: None)
+    assert np.isfinite(loss) and 0.0 <= 1.0 - acc <= 10.0
 
 
 def test_state_is_sharded_over_mesh(tiny_trainer):
