@@ -23,6 +23,18 @@ across blocks and reproducible across passes.
 Off-TPU (CPU tests) falls back to the numerically-equivalent
 jax.random.bernoulli formulation — identical contract, different mask
 pattern (dropout is stochastic; no caller depends on the exact pattern).
+
+MEASURED OUTCOME (v5e, round 3 — see VALIDATION.md "Dropout roofline"):
+this kernel is correct but SLOWER than XLA's rbg dropout — Mosaic's
+`prng_random_bits` lowers to a software PRNG (~18-22 ms to mask the
+320M-element conv activation at any block geometry) while XLA's
+RngBitGenerator uses the dedicated hardware RNG (~4 ms for the same
+masking, fused into the elementwise chain).  Total dropout cost in the
+production step is 9.6 ms of 81.7 (measured dropout=0 floor: 72.1 ms),
+dominated by the unavoidable activation read/write around each site,
+not by mask generation.  `ModelConfig.use_fused_dropout` therefore
+defaults to False; the kernel is kept as the reference implementation
+for hardware generations where the tradeoff flips.
 """
 
 from __future__ import annotations
