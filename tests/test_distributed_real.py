@@ -79,3 +79,10 @@ def test_two_process_matches_single(tmp_path):
     # the all-reduced MDD report equals the single-process accounting
     assert two[0]["report_vector"] == single["report_vector"]
     assert two[1]["report_vector"] == single["report_vector"]
+
+    # device-cache leg: global batch schedule + per-host row slices
+    # reproduce the single-process cached-loader loss
+    np.testing.assert_allclose(two[0]["cached_loss"], single["cached_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(two[1]["cached_loss"], single["cached_loss"],
+                               rtol=1e-5)

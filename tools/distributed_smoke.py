@@ -120,6 +120,41 @@ def main() -> None:
     local_rep = score_mdd(utts[pid::nproc])
     global_rep = all_reduce_report(local_rep)
 
+    # Device-cache leg: every host generates the same tiny corpus, builds
+    # the HBM cache, and iterates the GLOBAL batch schedule contributing
+    # its row slice — cross-process gather + SpecAugment + splice + train
+    # step, losses must match the single-process run.
+    import tempfile
+
+    from mdd_tpu.data.dataset import SpeechDataset
+    from mdd_tpu.data.device_cache import CachedLoader, DeviceFeatureCache
+    from mdd_tpu.data.vocab import Vocab
+    from mdd_tpu.frontend import kaldi_io
+
+    d = tempfile.mkdtemp()
+    rng2 = np.random.default_rng(5)
+    with kaldi_io.ArkScpWriter(f"{d}/f.ark", f"{d}/f.scp") as w, \
+            open(f"{d}/lab", "w") as lab_f, open(f"{d}/trn", "w") as trn_f:
+        for i in range(10):
+            nfrm = int(rng2.integers(16, 48))
+            w.write(f"u{i}", rng2.standard_normal((nfrm, 8)).astype(
+                np.float32))
+            lab_f.write(f"u{i} p2 p3 p4\n")
+            trn_f.write(f"u{i} p2 p3 p4\n")
+    vocab = Vocab([f"p{i}" for i in range(2, 10)])
+    ds = SpeechDataset(vocab, f"{d}/f.scp", f"{d}/lab", f"{d}/trn",
+                       train=True, device_frontend=True)
+    cfg_dc = ModelConfig(input_dim=24, num_class=10, rnn_hidden_size=16,
+                         rnn_layers=1, text_embed_size=8)
+    tr2 = Trainer(cfg_dc, seed=3, sample_t=16, sample_l=4,
+                  device_frontend=True)
+    cache = DeviceFeatureCache(ds, mesh=tr2.mesh, time_quantum=8,
+                               wire_dtype="float32")
+    cl = CachedLoader(cache, batch_size=8 // nproc, shuffle=True, seed=2,
+                      process_index=pid, process_count=nproc)
+    _, cached_loss = tr2.run_epoch(cl, epoch=1, train=True,
+                                   log=lambda *_: None)
+
     with open(args.out, "w") as f:
         json.dump({
             "process_id": pid,
@@ -130,6 +165,7 @@ def main() -> None:
             "dev_acc": float(dev_acc),
             "report_vector": [int(v) for v in
                               report_to_vector(global_rep)],
+            "cached_loss": float(cached_loss),
         }, f)
     print(f"[{pid}] distributed smoke OK: train_losses={train_losses}",
           flush=True)
