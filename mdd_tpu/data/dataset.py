@@ -132,6 +132,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def resolve_wire_dtype(wire_dtype: Optional[str]):
+    """Wire-format dtype for feature payloads (shared by BucketedLoader
+    and DeviceFeatureCache).  None/'float32' -> float32; 'bfloat16'
+    halves host->device bytes (features are CMVN-normalized, so bf16's
+    ~3 significant digits lose nothing the model's own bf16 compute
+    path wouldn't)."""
+    if wire_dtype in (None, "", "float32"):
+        return np.float32
+    if wire_dtype == "bfloat16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return np.dtype(wire_dtype)
+
+
 class BucketedLoader:
     """Batching with shape bucketing.
 
@@ -169,13 +184,7 @@ class BucketedLoader:
                 _round_up(time_quantum * skip,
                           skip * dataset.n_downsample))
         self.label_quantum = label_quantum
-        # wire_dtype: dtype of Batch.inputs as shipped to the device —
-        # "bfloat16" halves host->device bytes (features are CMVN-
-        # normalized, so bf16's ~3 significant digits lose nothing the
-        # model's own bf16 compute path wouldn't).
-        self.wire_dtype = np.float32 if wire_dtype is None else (
-            __import__("ml_dtypes").bfloat16 if wire_dtype == "bfloat16"
-            else np.dtype(wire_dtype))
+        self.wire_dtype = resolve_wire_dtype(wire_dtype)
         self.drop_last = drop_last
         self.num_workers = num_workers
         self._epoch = 0

@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mdd_tpu.data.dataset import SpeechDataset, _round_up
+from mdd_tpu.data.dataset import (SpeechDataset, _round_up,
+                                  resolve_wire_dtype)
 from mdd_tpu.frontend.augment import (
     mutate_transcript,
     sample_spec_augment_params,
@@ -96,9 +97,7 @@ class DeviceFeatureCache:
         skip = max(dataset.n_skip_frame, 1)
         self.raw_quantum = _round_up(time_quantum * skip,
                                      skip * dataset.n_downsample)
-        dtype = (np.float32 if wire_dtype in (None, "float32")
-                 else __import__("ml_dtypes").bfloat16
-                 if wire_dtype == "bfloat16" else np.dtype(wire_dtype))
+        dtype = resolve_wire_dtype(wire_dtype)
 
         def load(i: int):
             feat, _, _, _ = dataset.load_item(i, rng=None)

@@ -207,12 +207,16 @@ class EvalSession:
     ):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from mdd_tpu.parallel.mesh import (batch_sharding, make_mesh,
+        from mdd_tpu.parallel.mesh import (batch_sharding, make_local_mesh,
                                            replicated)
 
         self.cfg = model_cfg
         self.model = CTCAttentionModel(model_cfg)
-        self.mesh = mesh if mesh is not None else make_mesh()
+        # per-host mesh: in multi-process runs each host decodes its own
+        # loader shard (all_reduce_report sums the tallies); a global
+        # mesh would treat the host-local batch as the global batch and
+        # the decoded outputs would span non-addressable devices
+        self.mesh = mesh if mesh is not None else make_local_mesh()
         repl = replicated(self.mesh)
         data = batch_sharding(self.mesh)
         tbc = NamedSharding(self.mesh, P(None, "data"))  # (T', B, C) axis 1

@@ -113,6 +113,8 @@ def fused_dropout(x: jnp.ndarray, key: jax.Array, rate: float) -> jnp.ndarray:
     """
     if rate <= 0.0:
         return x
+    if rate >= 1.0:
+        return jnp.zeros_like(x)
     data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
     seed = data[-1]
     if data.shape[0] > 1:

@@ -31,6 +31,18 @@ def make_mesh(n_devices: int = 0, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices[:n_devices]), (axis,))
 
 
+def make_local_mesh(axis: str = "data") -> Mesh:
+    """Mesh over this process's own devices only.
+
+    For per-host computations in a multi-process run — e.g. evaluation
+    decode, where each host processes its own loader shard and only the
+    integer tallies are reduced across hosts (all_reduce_report).  A
+    global mesh would misinterpret each host's local batch as the whole
+    global batch.  Identical to make_mesh() in single-process runs.
+    """
+    return Mesh(np.asarray(jax.local_devices()), (axis,))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the mesh."""
     return NamedSharding(mesh, P(axis))
@@ -64,18 +76,6 @@ def shard_batch(mesh: Mesh, tree, axis: str = "data"):
     return jax.tree.map(put, tree)
 
 
-def local_shard(x) -> np.ndarray:
-    """Host-local rows of a batch-sharded global array.
-
-    Multi-process arrays are only partially addressable: np.asarray on
-    them raises.  This gathers the process's own shards (ordered by
-    global row offset) — the rows this host contributed via shard_batch.
-    """
-    if not isinstance(x, jax.Array) or jax.process_count() == 1:
-        return np.asarray(x)
-    shards = sorted(x.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def all_reduce_metrics(tree):
