@@ -13,6 +13,7 @@ CLI:
   python -m mdd_tpu train            --conf YAML
   python -m mdd_tpu evaluate         --conf YAML [--dump-dir DIR]
   python -m mdd_tpu infer            --wav-transcript-path DIR --conf YAML
+  python -m mdd_tpu serve            --conf YAML --cmvn F   (JSON on stdin)
   python -m mdd_tpu mdd-result       --ref F --human F --hyp F
   python -m mdd_tpu benchmark
 """
@@ -182,11 +183,20 @@ def cmd_train(args) -> int:
                                cfg.valid_lab_path, cfg.valid_trans_path,
                                train=False, device_fe=device_fe,
                                mesh=trainer.mesh)
-    summary = trainer.fit(train_loader, dev_loader,
-                          num_epochs=cfg.num_epoches,
-                          print_every=cfg.verbose_step,
-                          checkpoint_dir=cfg.checkpoint_dir,
-                          exp_name=cfg.exp_name)
+    if args.profile_dir:
+        # device trace of the whole run (compiles + steps); the profile
+        # covers what the tracing row of SURVEY.md §5 asks for beyond
+        # the reference's wall-clock prints
+        jax.profiler.start_trace(args.profile_dir)
+    try:
+        summary = trainer.fit(train_loader, dev_loader,
+                              num_epochs=cfg.num_epoches,
+                              print_every=cfg.verbose_step,
+                              checkpoint_dir=cfg.checkpoint_dir,
+                              exp_name=cfg.exp_name)
+    finally:
+        if args.profile_dir:
+            jax.profiler.stop_trace()
     print("best dev loss %.4f acc %.4f after %d epochs"
           % (summary["best_dev_loss"], summary["best_acc"],
              summary["epochs"]))
@@ -227,7 +237,8 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
-def cmd_infer(args) -> int:
+def _build_engine(args):
+    """Shared InferenceEngine construction for `infer` and `serve`."""
     from mdd_tpu.frontend.cmvn import parse_kaldi_cmvn_text
     from mdd_tpu.infer import InferenceEngine
     from mdd_tpu.lexicon.dictionary import Phonetic
@@ -247,7 +258,7 @@ def cmd_infer(args) -> int:
         else:
             print("warning: native denoiser unavailable (no C++ toolchain); "
                   "proceeding without denoise", file=sys.stderr)
-    engine = InferenceEngine(
+    return InferenceEngine(
         model_cfg,
         session.variables, vocab,
         cmvn=parse_kaldi_cmvn_text(args.cmvn),
@@ -260,9 +271,29 @@ def cmd_infer(args) -> int:
         denoiser=denoiser,
         use_ipa=args.phonetic_format == "ipa",
         forgiving=args.forgiving)
+
+
+def cmd_infer(args) -> int:
+    engine = _build_engine(args)
     engine.diagnose_dir(args.wav_transcript_path,
                         textgrid_dir=args.textgrid_path,
                         decode_dump=args.decode_dump)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Persistent diagnosis server: load the model + dictionary once,
+    answer line-delimited JSON requests on stdin until EOF (serve.py —
+    the production counterpart of the reference demo, whose own RTF
+    report shows per-invocation init dominating wall clock)."""
+    from mdd_tpu.serve import serve_loop
+
+    engine = _build_engine(args)
+    print("ready", file=sys.stderr, flush=True)
+    n = serve_loop(engine, sys.stdin, sys.stdout,
+                   log=(None if args.quiet else
+                        (lambda m: print(m, file=sys.stderr, flush=True))))
+    print(f"served {n} requests", file=sys.stderr)
     return 0
 
 
@@ -332,6 +363,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--distributed", action="store_true",
                    help="multi-host run: call jax.distributed.initialize() "
                         "before building the mesh (run on every host)")
+    q.add_argument("--profile-dir",
+                   help="capture a jax.profiler device trace of the run "
+                        "into this directory (view with XProf/TensorBoard)")
     q.set_defaults(fn=cmd_train)
 
     q = sub.add_parser("evaluate", help="MDD evaluation on the test set")
@@ -366,6 +400,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "of G2P (reference --phonetic transcript mode)")
     q.add_argument("--decode-dump", help="write decode_seq.txt here")
     q.set_defaults(fn=cmd_infer)
+
+    q = sub.add_parser("serve", help="persistent diagnosis server "
+                                     "(line-delimited JSON on stdin)")
+    q.add_argument("--conf", required=True)
+    q.add_argument("--checkpoint")
+    q.add_argument("--cmvn", required=True)
+    q.add_argument("--dict-dir")
+    q.add_argument("--ecdict-csv")
+    q.add_argument("--denoise", action=argparse.BooleanOptionalAction,
+                   default=True)
+    q.add_argument("--forgiving", type=int, choices=[0, 1, 2], default=None)
+    q.add_argument("--phonetic-format", choices=["cmu", "ipa"],
+                   default="cmu")
+    q.add_argument("--quiet", action="store_true",
+                   help="no per-request log lines on stderr")
+    q.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("mdd-result",
                        help="score decode dumps (mdd_result.sh pipeline)")

@@ -223,3 +223,42 @@ def test_config_device_cache_requires_frontend(tmp_path):
     conf.write_text("device_cache: true\n")
     with pytest.raises(ValueError, match="device_cache"):
         load_config(str(conf))
+
+
+def test_serve_loop(workdir, tiny_conf, reference_dir):
+    """Persistent serving: one engine answers multiple JSON requests
+    (ok + error cases) over a stream pair (mdd_tpu/serve.py)."""
+    import argparse
+    import io
+    import json
+
+    from mdd_tpu.cli import _build_engine
+    from mdd_tpu.serve import serve_loop
+
+    args = argparse.Namespace(
+        conf=str(tiny_conf), checkpoint=None,
+        cmvn=str(workdir / "global_fbank_cmvn.txt"),
+        dict_dir=None, ecdict_csv=None, denoise=False,
+        forgiving=None, phonetic_format="cmu")
+    engine = _build_engine(args)
+
+    demo = reference_dir / "egs" / "vocabulary" / "single"
+    requests = [
+        {"id": "r1", "wav": str(demo / "3.wav"), "word": "about"},
+        {"id": "r2", "wav": str(demo / "3.wav"), "word": "about",
+         "canonical": ["ah0", "b", "aw", "t"]},
+        {"id": "r3", "wav": "/nonexistent.wav", "word": "about"},
+        {"id": "r4", "word": "missing wav key"},
+    ]
+    src = io.StringIO("".join(json.dumps(r) + "\n" for r in requests))
+    out = io.StringIO()
+    n = serve_loop(engine, src, out, log=None)
+    assert n == 4
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert [r["id"] for r in resps[:3]] == ["r1", "r2", "r3"]
+    assert resps[0]["status"] == "ok"
+    assert 0 <= resps[0]["score"] <= 100
+    assert resps[0]["canonical_row"]
+    assert resps[1]["status"] == "ok"
+    assert resps[2]["status"] == "error"
+    assert resps[3]["status"] == "error"
