@@ -228,6 +228,12 @@ def cmd_evaluate(args) -> int:
     from mdd_tpu.evals.evaluate import evaluate_model
     from mdd_tpu.utils.config import load_config
 
+    if getattr(args, "distributed", False):
+        import jax
+
+        jax.distributed.initialize()
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}")
     cfg = load_config(args.conf)
     session, vocab, _ = _load_eval_session(cfg, args.checkpoint)
     loader = _build_loader(cfg, vocab, cfg.test_scp_path,
@@ -372,6 +378,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--conf", required=True)
     q.add_argument("--checkpoint")
     q.add_argument("--dump-dir")
+    q.add_argument("--distributed", action="store_true",
+                   help="multi-host run: each host decodes its own test "
+                        "shard; tallies are summed via all_reduce_report "
+                        "(run the same command on every host)")
     q.set_defaults(fn=cmd_evaluate)
 
     q = sub.add_parser("infer", help="single-word diagnosis demo")

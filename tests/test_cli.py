@@ -208,8 +208,12 @@ def test_cli_train_device_cache(workdir, tiny_conf, capsys):
         device_cache: true
         exp_name: tiny_cache
     """))
-    assert main(["train", "--conf", str(conf)]) == 0
+    prof = workdir / "trace"
+    assert main(["train", "--conf", str(conf),
+                 "--profile-dir", str(prof)]) == 0
     assert (workdir / "ckpt" / "tiny_cache" / "best").exists()
+    # --profile-dir captured a device trace
+    assert any(prof.rglob("*.xplane.pb")) or any(prof.rglob("*.json.gz"))
     out = capsys.readouterr().out
     losses = [float(m) for m in re.findall(
         r"Train done, total_loss: ([\d.]+)", out)]
