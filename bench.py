@@ -216,7 +216,9 @@ def bench_epoch(cfg, extra: dict) -> None:
     n_epochs = 3
     with tempfile.TemporaryDirectory() as d:
         out = Path(d)
-        make_split(out, "train", 1024, seed=0, min_phones=16, max_phones=40)
+        # reference training-set scale: 5,496 utterances
+        # (result/train.log:54) with the real ~3 s length statistics
+        make_split(out, "train", 5496, seed=0, min_phones=16, max_phones=40)
         vocab = Vocab(PHONES)
         ds = SpeechDataset(vocab, str(out / "train.scp"),
                            str(out / "train_phn_text"),

@@ -38,6 +38,28 @@ def _model_config_from_meta(meta: dict):
     return ModelConfig(**raw)
 
 
+def _distributed_initialize() -> None:
+    """Multi-host init: every host runs the same command.
+
+    Coordinator/rank discovery comes from the runtime's cluster
+    environment (TPU pod metadata, Slurm, OpenMPI, K8s — jax's built-in
+    auto-detection), or explicitly from JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES + JAX_PROCESS_ID when set (generic launchers;
+    exercised for real by tests/test_distributed_cli.py).
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize()
+
+
 def _build_loader(cfg, vocab, scp, lab, trans, train: bool,
                   device_fe: bool = False, mesh=None):
     import jax
@@ -149,11 +171,7 @@ def cmd_train(args) -> int:
     from mdd_tpu.utils.config import load_config
 
     if args.distributed:
-        # Multi-host entry: every host runs this same command;
-        # coordinator/rank discovery comes from the TPU runtime (GCE
-        # metadata) or the standard JAX_COORDINATOR_ADDRESS /
-        # JAX_PROCESS_ID / JAX_NUM_PROCESSES env vars.
-        jax.distributed.initialize()
+        _distributed_initialize()
         print(f"distributed: process {jax.process_index()}/"
               f"{jax.process_count()}, {jax.local_device_count()} local / "
               f"{jax.device_count()} global devices")
@@ -231,7 +249,7 @@ def cmd_evaluate(args) -> int:
     if getattr(args, "distributed", False):
         import jax
 
-        jax.distributed.initialize()
+        _distributed_initialize()
         print(f"distributed: process {jax.process_index()}/"
               f"{jax.process_count()}")
     cfg = load_config(args.conf)
