@@ -21,7 +21,6 @@ CLI:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 from typing import List, Optional
 

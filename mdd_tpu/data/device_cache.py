@@ -35,7 +35,6 @@ import dataclasses
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mdd_tpu.data.dataset import (SpeechDataset, _round_up,

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mdd_tpu.align.levenshtein import align, edit_distance
+from mdd_tpu.align.levenshtein import align
 from mdd_tpu.align.mdd import (
     MddCounts,
     alignment_to_slots,

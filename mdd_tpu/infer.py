@@ -18,7 +18,6 @@ CUDA is not force-disabled — the model runs on whatever device jit picks.
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 import time
 from pathlib import Path
@@ -38,9 +37,8 @@ from mdd_tpu.data.vocab import Vocab
 from mdd_tpu.evals.evaluate import EvalSession
 from mdd_tpu.frontend.cmvn import CmvnStats
 from mdd_tpu.frontend.fbank import FbankConfig
-from mdd_tpu.frontend.pipeline import featurize_wavs
 from mdd_tpu.frontend.splice import make_context, pad_to_multiple, skip_frames
-from mdd_tpu.frontend.wav import read_audio, resample, write_wav
+from mdd_tpu.frontend.wav import read_audio, resample
 from mdd_tpu.lexicon.dictionary import CMU_TO_IPA_WIKI, Phonetic
 from mdd_tpu.models.ctc_model import ModelConfig
 
@@ -178,8 +176,6 @@ class InferenceEngine:
         return data.astype(np.float32)
 
     def _featurize(self, wavs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        import tempfile
-
         # featurize via in-memory path: write temp wavs only when the
         # source needed resampling; otherwise reuse the direct API.
         from mdd_tpu.frontend.pipeline import _BatchedFbank

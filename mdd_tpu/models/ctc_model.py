@@ -27,7 +27,7 @@ dtype (bfloat16 for throughput; params stay float32).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -15,8 +15,6 @@ driver's multi-chip dry run.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -82,7 +80,6 @@ def all_reduce_metrics(tree):
     """Sum metric pytrees across processes (multi-host eval aggregation)."""
     if jax.process_count() == 1:
         return tree
-    import jax.numpy as jnp
     from jax.experimental import multihost_utils
 
     return multihost_utils.process_allgather(tree).sum(axis=0)

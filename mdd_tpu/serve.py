@@ -29,7 +29,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import time
-from typing import IO, Optional
+from typing import IO
 
 from mdd_tpu.infer import InferenceEngine
 

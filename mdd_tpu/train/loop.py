@@ -15,7 +15,6 @@ checkpointing upgraded to orbax best+latest (resumable).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Any, Dict, Iterable, Optional, Tuple
 
@@ -25,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mdd_tpu.data.dataset import Batch, BucketedLoader, pad_batch_to
+from mdd_tpu.data.dataset import Batch, pad_batch_to
 from mdd_tpu.models.ctc_model import CTCAttentionModel, ModelConfig
 from mdd_tpu.ops.ctc_loss import ctc_loss
 from mdd_tpu.parallel.mesh import (batch_sharding, make_mesh,

@@ -66,7 +66,7 @@ if args.num_processes > 1:
 import numpy as np  # noqa: E402
 
 from mdd_tpu.data.dataset import Batch  # noqa: E402
-from mdd_tpu.evals.evaluate import (MddReport, all_reduce_report,  # noqa: E402
+from mdd_tpu.evals.evaluate import (all_reduce_report,  # noqa: E402
                                     report_to_vector, score_mdd)
 from mdd_tpu.models.ctc_model import ModelConfig  # noqa: E402
 from mdd_tpu.train.loop import Trainer  # noqa: E402
