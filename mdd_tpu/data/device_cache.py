@@ -98,18 +98,13 @@ class DeviceFeatureCache:
                                      skip * dataset.n_downsample)
         dtype = resolve_wire_dtype(wire_dtype)
 
-        def load(i: int):
-            feat, _, _, _ = dataset.load_item(i, rng=None)
-            return feat
+        # bulk ingest: one open (native mmap index when built) per ark
+        # file instead of one open+seek per utterance
+        from mdd_tpu.frontend import kaldi_io
 
         n = len(dataset)
-        if num_workers > 1 and n > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(num_workers) as pool:
-                feats = list(pool.map(load, range(n)))
-        else:
-            feats = [load(i) for i in range(n)]
+        feats = [np.asarray(f, np.float32) for f in kaldi_io.bulk_load(
+            [rx for _, rx, _, _ in dataset.items])]
 
         self.feat_dim = feats[0].shape[1]
         self.lengths = np.asarray([f.shape[0] for f in feats], np.int32)

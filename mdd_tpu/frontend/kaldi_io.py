@@ -116,3 +116,63 @@ class ArkScpWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def _iter_ark_with_offsets(path: str) -> Iterator[Tuple[str, int, np.ndarray]]:
+    """Like read_ark but also yields each entry's '\\0B' marker offset
+    (the offset scp entries point at)."""
+    with open(path, "rb") as f:
+        while True:
+            utt = _read_token(f)
+            if not utt:
+                return
+            offset = f.tell()
+            if f.read(2) != b"\x00B":
+                raise ValueError("only binary arks are supported")
+            yield utt, offset, _read_binary_matrix(f)
+
+
+def bulk_load(rxspecifiers) -> list:
+    """Load many scp entries, opening each ark file ONCE.
+
+    The per-entry `load_mat` path opens + seeks per utterance — fine for
+    lazy streaming, wasteful for bulk ingest (the device-cache build
+    reads the whole corpus up front).  This groups entries by file and
+    uses the native mmap reader (native/ark_io.cc) when available,
+    falling back to one sequential Python pass per ark.  Returns
+    matrices aligned with the input order.
+    """
+    groups: Dict[str, list] = {}
+    order = []
+    for k, rx in enumerate(rxspecifiers):
+        if ":" in rx and rx.rsplit(":", 1)[1].isdigit():
+            path, off = rx.rsplit(":", 1)
+            order.append((path, int(off)))
+        else:
+            order.append((rx, None))
+        groups.setdefault(order[-1][0], []).append((k, order[-1][1]))
+    out: list = [None] * len(order)
+    for path, entries in groups.items():
+        reader = None
+        try:
+            from mdd_tpu.native import NativeArkReader
+
+            reader = NativeArkReader(path)
+        except OSError:
+            reader = None
+        if reader is not None:
+            with reader:
+                for k, off in entries:
+                    i = 0 if off is None else reader.by_offset.get(off)
+                    out[k] = (reader.read(i) if i is not None
+                              else load_mat(f"{path}:{off}"))
+            continue
+        by_off: Dict[int, np.ndarray] = {}
+        first = None
+        for _, off, mat in _iter_ark_with_offsets(path):
+            if first is None:
+                first = mat
+            by_off[off] = mat
+        for k, off in entries:
+            out[k] = first if off is None else by_off[off]
+    return out

@@ -72,3 +72,116 @@ def spectral_denoise(data: np.ndarray, sample_rate: int = 16000,
     if rc != 0:
         return data
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bulk ark reader (native/ark_io.cc): mmap + single-scan index + zero-copy
+# payload views.  Used by the bulk-ingest paths (device-cache build);
+# callers fall back to frontend.kaldi_io's pure-Python reader when the
+# toolchain or the library is unavailable or an ark isn't plain BFM.
+# ---------------------------------------------------------------------------
+
+_ARK_LIB_PATH = _NATIVE_DIR / "build" / "libmddarkio.so"
+_ark_lib = None
+
+
+def _load_ark_lib():
+    global _ark_lib
+    if _ark_lib is not None:
+        return _ark_lib or None
+    if not _ARK_LIB_PATH.exists() and not ensure_built():
+        _ark_lib = False
+        return None
+    if not _ARK_LIB_PATH.exists():
+        _ark_lib = False
+        return None
+    lib = ctypes.CDLL(str(_ARK_LIB_PATH))
+    lib.mdd_ark_open.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int64)]
+    lib.mdd_ark_open.restype = ctypes.c_void_p
+    lib.mdd_ark_entries.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.mdd_ark_utts_size.argtypes = [ctypes.c_void_p]
+    lib.mdd_ark_utts_size.restype = ctypes.c_int64
+    lib.mdd_ark_utts.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.mdd_ark_base.argtypes = [ctypes.c_void_p]
+    lib.mdd_ark_base.restype = ctypes.c_void_p
+    lib.mdd_ark_read.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                 ctypes.POINTER(ctypes.c_float)]
+    lib.mdd_ark_close.argtypes = [ctypes.c_void_p]
+    _ark_lib = lib
+    return lib
+
+
+class NativeArkReader:
+    """Indexed zero-copy access to one binary (BFM) ark file.
+
+    `by_offset` maps an scp rx offset (the '\\0B' marker position) to the
+    entry index; `view(i)` returns a read-only float32 view into the
+    mapping (valid while the reader is open); `read(i)` returns an owned
+    copy.  Construction raises OSError when the library or the file is
+    unusable — callers catch and fall back to the Python reader.
+    """
+
+    def __init__(self, path: str):
+        lib = _load_ark_lib()
+        if lib is None:
+            raise OSError("native ark library unavailable")
+        n = ctypes.c_int64(0)
+        self._h = lib.mdd_ark_open(path.encode(), ctypes.byref(n))
+        if not self._h:
+            raise OSError(f"cannot index ark natively: {path}")
+        self._lib = lib
+        self.n = n.value
+        marker = np.empty(self.n, np.int64)
+        data_off = np.empty(self.n, np.int64)
+        rows = np.empty(self.n, np.int32)
+        cols = np.empty(self.n, np.int32)
+        lib.mdd_ark_entries(
+            self._h,
+            marker.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            data_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        size = lib.mdd_ark_utts_size(self._h)
+        buf = ctypes.create_string_buffer(int(size))
+        lib.mdd_ark_utts(self._h, buf)
+        self.utts = buf.raw.decode().split("\n")[:-1]
+        self.rows, self.cols = rows, cols
+        self._data_off = data_off
+        self.by_offset = {int(o): i for i, o in enumerate(marker)}
+        base = lib.mdd_ark_base(self._h)
+        total = int(data_off[-1]) + int(rows[-1]) * int(cols[-1]) * 4 \
+            if self.n else 0
+        self._buf = (ctypes.c_char * total).from_address(base) \
+            if total else b""
+
+    def view(self, i: int) -> np.ndarray:
+        """Zero-copy (rows, cols) float32 view into the mapped file."""
+        r, c = int(self.rows[i]), int(self.cols[i])
+        off = int(self._data_off[i])
+        out = np.frombuffer(self._buf, np.float32, r * c, off)
+        return out.reshape(r, c)
+
+    def read(self, i: int) -> np.ndarray:
+        return np.array(self.view(i))
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._buf = b""
+            self._lib.mdd_ark_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

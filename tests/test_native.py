@@ -83,3 +83,75 @@ def test_engine_accepts_native_denoiser():
     x = np.random.default_rng(1).standard_normal(16000).astype(np.float32)
     y = spectral_denoise(x, 16000)
     assert y.shape == x.shape
+
+
+class TestNativeArkReader:
+    """native/ark_io.cc: mmap bulk ark reader parity with the Python
+    reader (skipped when no C++ toolchain is available)."""
+
+    @pytest.fixture(scope="class")
+    def ark(self, tmp_path_factory):
+        from mdd_tpu.frontend import kaldi_io
+
+        d = tmp_path_factory.mktemp("ark")
+        rng = np.random.default_rng(0)
+        mats = {}
+        with kaldi_io.ArkScpWriter(str(d / "f.ark"), str(d / "f.scp")) as w:
+            for i in range(20):
+                m = rng.standard_normal(
+                    (int(rng.integers(5, 60)), 81)).astype(np.float32)
+                mats[f"u{i}"] = m
+                w.write(f"u{i}", m)
+        return d, mats
+
+    def test_reader_parity(self, ark):
+        from mdd_tpu import native
+        from mdd_tpu.frontend import kaldi_io
+
+        d, mats = ark
+        if not native.ensure_built():
+            pytest.skip("no C++ toolchain")
+        with native.NativeArkReader(str(d / "f.ark")) as r:
+            assert r.n == 20
+            assert r.utts == [f"u{i}" for i in range(20)]
+            scp = kaldi_io.read_scp(str(d / "f.scp"))
+            for utt, rx in scp.items():
+                off = int(rx.rsplit(":", 1)[1])
+                i = r.by_offset[off]
+                np.testing.assert_array_equal(r.read(i), mats[utt])
+                # zero-copy view matches too
+                np.testing.assert_array_equal(np.asarray(r.view(i)),
+                                              mats[utt])
+
+    def test_bulk_load_matches_per_item(self, ark):
+        from mdd_tpu.frontend import kaldi_io
+
+        d, mats = ark
+        scp = kaldi_io.read_scp(str(d / "f.scp"))
+        rxs = list(scp.values())
+        bulk = kaldi_io.bulk_load(rxs)
+        for utt, rx, m in zip(scp, rxs, bulk):
+            np.testing.assert_array_equal(m, mats[utt])
+            np.testing.assert_array_equal(m, kaldi_io.load_mat(rx))
+
+    def test_python_fallback_parity(self, ark, monkeypatch):
+        """bulk_load's pure-Python path (native unavailable) agrees."""
+        import mdd_tpu.native as native
+        from mdd_tpu.frontend import kaldi_io
+
+        d, mats = ark
+        monkeypatch.setattr(
+            native, "NativeArkReader",
+            lambda path: (_ for _ in ()).throw(OSError("forced")))
+        scp = kaldi_io.read_scp(str(d / "f.scp"))
+        bulk = kaldi_io.bulk_load(list(scp.values()))
+        for utt, m in zip(scp, bulk):
+            np.testing.assert_array_equal(m, mats[utt])
+
+    def test_open_missing_file_raises(self):
+        from mdd_tpu import native
+
+        if not native.ensure_built():
+            pytest.skip("no C++ toolchain")
+        with pytest.raises(OSError):
+            native.NativeArkReader("/nonexistent.ark")
