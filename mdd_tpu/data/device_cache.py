@@ -86,7 +86,8 @@ class DeviceFeatureCache:
         mesh=None,
         time_quantum: int = 64,
         wire_dtype: str = "bfloat16",
-        num_workers: int = 8,
+        num_workers: int = 8,   # unused since the bulk-ingest path
+        # (kaldi_io.bulk_load opens each ark once); kept for API compat
     ):
         assert getattr(dataset, "device_frontend", False), (
             "DeviceFeatureCache requires a device_frontend dataset: the "
