@@ -131,3 +131,58 @@ def test_cli_train_distributed_matches_single(corpus):
     # equal to the single-process run over the same global batches
     np.testing.assert_allclose(got0, got1, rtol=0, atol=0)
     np.testing.assert_allclose(got0, want, rtol=1e-4)
+
+
+def test_cli_evaluate_distributed_matches_single(corpus):
+    """`evaluate --distributed` across two real processes: each rank
+    decodes its own shard (per-host EvalSession mesh), the tallies cross
+    via all_reduce_report, and the global report equals the
+    single-process evaluation."""
+    conf = _conf(corpus, "eval", batch_size=4)
+    # train once (single process) to produce the checkpoint
+    ckpt_conf = corpus / "eval_ckpt.yaml"
+    ckpt_conf.write_text(conf.read_text().replace(
+        "checkpoint_dir: ''", f"checkpoint_dir: {corpus}/ckpt"))
+
+    def run(args_extra, n_proc, local_devices, distributed=False):
+        port = _free_port()
+        procs = []
+        for pid in range(n_proc):
+            env = {k: v for k, v in os.environ.items()
+                   if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                                f"{local_devices}")
+            args = [sys.executable, "-c", BOOT] + args_extra
+            if distributed:
+                env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+                env["JAX_NUM_PROCESSES"] = str(n_proc)
+                env["JAX_PROCESS_ID"] = str(pid)
+                args.append("--distributed")
+            procs.append(subprocess.Popen(
+                args, cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+        outs = []
+        for p in procs:
+            stdout, _ = p.communicate(timeout=600)
+            text = stdout.decode(errors="replace")
+            assert p.returncode == 0, f"failed:\n{text[-3000:]}"
+            outs.append(text)
+        return outs
+
+    run(["train", "--conf", str(ckpt_conf)], 1, 2)
+    single = run(["evaluate", "--conf", str(ckpt_conf)], 1, 2)[0]
+
+    outs = run(["evaluate", "--conf", str(ckpt_conf)], 2, 1,
+               distributed=True)
+
+    def metrics(text):
+        return re.findall(
+            r"(total_error: \d+|total_phoneme: \d+|TA :  \d+|FR :  \d+"
+            r"|FA :  \d+|TR :  \d+)", text)
+
+    want = metrics(single)
+    assert want, single[-2000:]
+    for o in outs:
+        assert "distributed: process" in o
+        assert metrics(o) == want, (metrics(o), want)
