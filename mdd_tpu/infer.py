@@ -206,10 +206,9 @@ class InferenceEngine:
             utt_ids=[utt])
 
     # ------------------------------------------------------------------
-    def diagnose_word(self, utt_id: str, wav: np.ndarray, word: str,
-                      canonical_units: Optional[List[str]] = None
-                      ) -> WordDiagnosis:
-        """Diagnose one recorded word against its prompt."""
+    def _word_meta(self, word: str,
+                   canonical_units: Optional[List[str]]):
+        """Dictionary/G2P lookups for one word (host side)."""
         import warnings
 
         with warnings.catch_warnings():
@@ -221,11 +220,87 @@ class InferenceEngine:
             phonics_entry = self.phonetic.api_word_phonics(word)
             phonics = ("" if phonics_entry is None else " ".join(
                 "-".join(m) for m in phonics_entry["mapping"]))
+        return canonical_units, ipa_display, translation, phonics
 
-        feats = self._featurize({utt_id: wav})[utt_id]
-        batch = self._model_batch(utt_id, feats, canonical_units)
+    def diagnose_words(
+        self,
+        items: List[Tuple[str, np.ndarray, str, Optional[List[str]]]],
+        time_quantum: int = 32,
+    ) -> List[WordDiagnosis]:
+        """Diagnose several recorded words in ONE batched forward/decode.
+
+        items: (utt_id, wav, word, canonical_units-or-None) tuples; the
+        serving path's dynamic batching (serve.py) uses this.  Each
+        item's frame count is exact, and items of equal padded length
+        reproduce diagnose_word bitwise.  Shorter items in a mixed batch
+        inherit the model's (and the torch reference's) unpacked-LSTM
+        property: the backward directions traverse the zero padding
+        before reaching real frames, so posteriors can shift ~1e-2 in
+        log space relative to the lone-utterance forward — the same
+        batching semantics evaluate_model has always had
+        (utils/data_loader.py pads to the batch max and model_ctc runs
+        unpacked LSTMs over it).
+        """
+        if not items:
+            return []
+        metas = []
+        wavs = {}
+        for utt, wav, word, canonical_units in items:
+            metas.append((utt, word) + self._word_meta(word, canonical_units))
+            wavs[utt] = wav
+        feats = self._featurize(wavs)
+        # one padded batch: per-item splice/skip, time padded to a small
+        # closed set of shapes (multiple of 32 model frames)
+        xs, trans_ids = [], []
+        for utt, _, canonical_units, *_ in metas:
+            x = pad_to_multiple(
+                skip_frames(make_context(feats[utt], self.left_ctx,
+                                         self.right_ctx),
+                            self.n_skip_frame), self.n_downsample)
+            xs.append(np.asarray(x, np.float32))
+            trans_ids.append(self.vocab.encode(canonical_units))
+        b = len(items)
+        t_max = (-(-max(x.shape[0] for x in xs) // time_quantum)
+                 * time_quantum)
+        l_max = max(len(t) for t in trans_ids)
+        inputs = np.zeros((b, t_max, xs[0].shape[1]), np.float32)
+        fracs = np.zeros(b, np.float32)
+        trans = np.zeros((b, l_max), np.int32)
+        trsizes = np.zeros(b, np.int32)
+        out_max = self.session.cfg.output_frames(t_max)
+        for i, (x, t) in enumerate(zip(xs, trans_ids)):
+            inputs[i, : x.shape[0]] = x
+            # frac chosen so floor(frac * out_len) lands EXACTLY on the
+            # item's own model frame count — the naive t_i/t_max ratio
+            # can truncate the final frame under float32 (the loader
+            # keeps that floor behavior for reference parity; here the
+            # single-word path uses frac=1.0, so the batch must match it)
+            n_i = self.session.cfg.output_frames(x.shape[0])
+            fracs[i] = min(1.0, (n_i + 0.5) / out_max)
+            trans[i, : len(t)] = t
+            trsizes[i] = len(t)
+        batch = Batch(inputs=inputs, input_fracs=fracs,
+                      targets=trans.copy(), target_sizes=trsizes.copy(),
+                      trans=trans, trans_sizes=trsizes,
+                      utt_ids=[m[0] for m in metas])
         decoded_lists, _ = self.session.decode_batch(batch)
-        decoded = [p for p in decoded_lists[0] if p not in ("sil", "err")]
+        return [self._diagnose_decoded(meta, decoded)
+                for meta, decoded in zip(metas, decoded_lists)]
+
+    def diagnose_word(self, utt_id: str, wav: np.ndarray, word: str,
+                      canonical_units: Optional[List[str]] = None
+                      ) -> WordDiagnosis:
+        """Diagnose one recorded word against its prompt."""
+        meta = (utt_id, word) + self._word_meta(word, canonical_units)
+        feats = self._featurize({utt_id: wav})[utt_id]
+        batch = self._model_batch(utt_id, feats, meta[2])
+        decoded_lists, _ = self.session.decode_batch(batch)
+        return self._diagnose_decoded(meta, decoded_lists[0])
+
+    def _diagnose_decoded(self, meta, decoded_raw) -> WordDiagnosis:
+        """Alignment + forgiveness + faults + score for one decoded word."""
+        utt_id, word, canonical_units, ipa_display, translation, phonics = meta
+        decoded = [p for p in decoded_raw if p not in ("sil", "err")]
         canonical = [p for p in canonical_units if p != "sil"]
 
         _, dc_path = align(decoded, canonical)

@@ -266,3 +266,33 @@ def test_serve_loop(workdir, tiny_conf, reference_dir):
     assert resps[1]["status"] == "ok"
     assert resps[2]["status"] == "error"
     assert resps[3]["status"] == "error"
+
+
+def test_serve_batched_requests(workdir, tiny_conf, reference_dir):
+    """handle_requests processes a queued group in one batched
+    forward/decode, mixed with per-request errors, responses in order."""
+    import argparse
+    import json
+
+    from mdd_tpu.cli import _build_engine
+    from mdd_tpu.serve import handle_requests
+
+    args = argparse.Namespace(
+        conf=str(tiny_conf), checkpoint=None,
+        cmvn=str(workdir / "global_fbank_cmvn.txt"),
+        dict_dir=None, ecdict_csv=None, denoise=False,
+        forgiving=None, phonetic_format="cmu")
+    engine = _build_engine(args)
+    demo = reference_dir / "egs" / "vocabulary" / "single"
+    lines = [
+        json.dumps({"id": "a", "wav": str(demo / "3.wav"),
+                    "word": "about"}),
+        "not json",
+        json.dumps({"id": "b", "wav": str(demo / "2.wav"),
+                    "word": "gather"}),
+        json.dumps({"id": "c", "wav": "/missing.wav", "word": "x"}),
+    ]
+    resps = handle_requests(engine, lines)
+    assert [r["status"] for r in resps] == ["ok", "error", "ok", "error"]
+    assert resps[0]["id"] == "a" and resps[2]["id"] == "b"
+    assert resps[0]["canonical_row"] and resps[2]["canonical_row"]

@@ -152,3 +152,50 @@ def test_diagnose_dir_transcript_mode_and_dump(engine, reference_dir,
     assert len(results) == 1
     lines = dump.read_text().splitlines()
     assert len(lines) == 1 and lines[0].startswith("1")
+
+
+def test_diagnose_words_equal_length_bitwise(engine, reference_dir):
+    """Dynamic batching mechanics: items of equal padded length (three
+    copies of one wav, time_quantum matching the single path) reproduce
+    diagnose_word bit-for-bit."""
+    import dataclasses
+
+    from mdd_tpu.frontend.wav import read_audio
+
+    demo = reference_dir / "egs" / "vocabulary" / "single"
+    wav, _ = read_audio(str(demo / "3.wav"))
+    wav = wav.astype(np.float32)
+    items = [(f"w{i}", wav, "about", None) for i in range(3)]
+    batched = engine.diagnose_words(items, time_quantum=2)
+    single = engine.diagnose_word("w0", wav, "about")
+    assert len(batched) == 3
+    want = dataclasses.asdict(single)
+    for b in batched:
+        got = dataclasses.asdict(b)
+        got["utt_id"] = want["utt_id"]
+        assert got == want, (got, want)
+
+
+def test_diagnose_words_mixed_batch(engine, reference_dir):
+    """Mixed-length batch: every item gets a well-formed diagnosis with
+    its own exact frame geometry; near-tie decode shifts from the
+    unpacked-LSTM padding semantics are allowed (see diagnose_words
+    docstring) but canonical rows / metadata must match the single path."""
+    from mdd_tpu.frontend.wav import read_audio
+
+    demo = reference_dir / "egs" / "vocabulary" / "single"
+    items = []
+    for i, word in ((1, "vocabulary"), (2, "gather"), (3, "about")):
+        wav, _ = read_audio(str(demo / f"{i}.wav"))
+        items.append((f"w{i}", wav.astype(np.float32), word, None))
+    batched = engine.diagnose_words(items)
+    singles = [engine.diagnose_word(u, w, word)
+               for u, w, word, _ in items]
+    for b, s in zip(batched, singles):
+        assert b.word == s.word
+        assert b.ipa_display == s.ipa_display
+        assert b.phonics == s.phonics
+        assert b.total == s.total          # canonical phone count
+        # the reference score formula (infer.py:341-342) can go negative
+        # on insertion-heavy garbage decodes (random-init model here)
+        assert isinstance(b.score, int) and b.score <= 100
