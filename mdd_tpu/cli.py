@@ -51,6 +51,15 @@ def _distributed_initialize() -> None:
     import jax
 
     if os.environ.get("JAX_NUM_PROCESSES"):
+        missing = [v for v in ("JAX_COORDINATOR_ADDRESS", "JAX_PROCESS_ID")
+                   if not os.environ.get(v)]
+        if missing:
+            raise SystemExit(
+                "JAX_NUM_PROCESSES is set but %s %s missing — explicit "
+                "multi-process setup needs JAX_COORDINATOR_ADDRESS, "
+                "JAX_NUM_PROCESSES and JAX_PROCESS_ID together"
+                % (" and ".join(missing),
+                   "is" if len(missing) == 1 else "are"))
         jax.distributed.initialize(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

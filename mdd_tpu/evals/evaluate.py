@@ -311,6 +311,12 @@ def evaluate_model(
 
     if dump_dir is not None:
         d = Path(dump_dir)
+        if jax.process_count() > 1:
+            # each rank holds only its shard's triples; writing the same
+            # paths from every rank on a shared filesystem would clobber
+            # — per-rank subdirs keep the dumps complete (cat rank*/x to
+            # reassemble the full set)
+            d = d / f"rank{jax.process_index()}"
         d.mkdir(parents=True, exist_ok=True)
         with open(d / "decode_seq.log", "w") as w1, \
              open(d / "human_seq.log", "w") as w2, \

@@ -174,5 +174,13 @@ def bulk_load(rxspecifiers) -> list:
                 first = mat
             by_off[off] = mat
         for k, off in entries:
-            out[k] = first if off is None else by_off[off]
+            if off is None:
+                out[k] = first
+            else:
+                mat = by_off.get(off)
+                # unknown offset (stale scp): same per-entry fallback as
+                # the native path — load_mat raises a clear error if the
+                # entry is truly unreadable
+                out[k] = mat if mat is not None else load_mat(
+                    f"{path}:{off}")
     return out

@@ -191,18 +191,27 @@ class InferenceEngine:
                 out[u] = np.asarray(apply_cmvn(f, self.cmvn))
         return out
 
+    # label axis padded to a multiple of this in both the single-word and
+    # batched paths (same shapes -> same compiled program -> equal-length
+    # batched results reproduce diagnose_word bitwise; bounded shape set
+    # for the long-lived server)
+    LABEL_QUANTUM = 8
+
     def _model_batch(self, utt: str, feats: np.ndarray,
                      canonical_units: List[str]) -> Batch:
         x = pad_to_multiple(
             skip_frames(make_context(feats, self.left_ctx, self.right_ctx),
                         self.n_skip_frame), self.n_downsample)
-        trans = np.asarray([self.vocab.encode(canonical_units)], np.int32)
+        ids = self.vocab.encode(canonical_units)
+        l_pad = -(-len(ids) // self.LABEL_QUANTUM) * self.LABEL_QUANTUM
+        trans = np.zeros((1, l_pad), np.int32)
+        trans[0, : len(ids)] = ids
+        sizes = np.asarray([len(ids)], np.int32)
         return Batch(
             inputs=np.asarray(x, np.float32)[None],
             input_fracs=np.ones(1, np.float32),
-            targets=trans.copy(), target_sizes=np.asarray([trans.shape[1]],
-                                                          np.int32),
-            trans=trans, trans_sizes=np.asarray([trans.shape[1]], np.int32),
+            targets=trans.copy(), target_sizes=sizes.copy(),
+            trans=trans, trans_sizes=sizes,
             utt_ids=[utt])
 
     # ------------------------------------------------------------------
@@ -243,6 +252,9 @@ class InferenceEngine:
         """
         if not items:
             return []
+        ids = [utt for utt, *_ in items]
+        if len(set(ids)) != len(ids):
+            raise ValueError(f"duplicate utt_ids in diagnose_words: {ids}")
         metas = []
         wavs = {}
         for utt, wav, word, canonical_units in items:
@@ -262,7 +274,11 @@ class InferenceEngine:
         b = len(items)
         t_max = (-(-max(x.shape[0] for x in xs) // time_quantum)
                  * time_quantum)
-        l_max = max(len(t) for t in trans_ids)
+        # label axis quantized too (same quantum as _model_batch): a
+        # long-lived server would otherwise recompile the forward for
+        # every new max canonical length
+        l_max = (-(-max(len(t) for t in trans_ids) // self.LABEL_QUANTUM)
+                 * self.LABEL_QUANTUM)
         inputs = np.zeros((b, t_max, xs[0].shape[1]), np.float32)
         fracs = np.zeros(b, np.float32)
         trans = np.zeros((b, l_max), np.int32)

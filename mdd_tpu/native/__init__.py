@@ -23,15 +23,18 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def ensure_built(force: bool = False) -> bool:
-    """Build the native library if missing. Returns availability."""
-    if _LIB_PATH.exists() and not force:
+    """Build the native libraries if any is missing. Returns availability
+    of ALL of them (denoiser + ark reader — a build dir left over from
+    before a new library was added must trigger a rebuild)."""
+    libs = (_LIB_PATH, _NATIVE_DIR / "build" / "libmddarkio.so")
+    if all(p.exists() for p in libs) and not force:
         return True
     try:
         subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
                        capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
         return False
-    return _LIB_PATH.exists()
+    return all(p.exists() for p in libs)
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -75,9 +75,10 @@ def handle_requests(engine: InferenceEngine, lines: list) -> list:
         rid = req.get("id")
         wav_path = req.get("wav")
         word = req.get("word")
-        if not wav_path or not word:
+        if (not wav_path or not word or not isinstance(wav_path, str)
+                or not isinstance(word, str)):
             resps[i] = {"status": "error", "id": rid,
-                        "error": "request needs 'wav' and 'word'"}
+                        "error": "request needs string 'wav' and 'word'"}
             continue
         try:
             wav = engine._prepare_audio(wav_path)
@@ -101,10 +102,16 @@ def handle_requests(engine: InferenceEngine, lines: list) -> list:
             seconds = time.time() - t0
             for (i, rid), diag in zip(slots, diags):
                 resps[i] = _diag_response(diag, rid, seconds)
-        except Exception as e:  # noqa: BLE001 — batch failure -> per-req errors
-            for i, rid in slots:
-                resps[i] = {"status": "error", "id": rid,
-                            "error": f"{type(e).__name__}: {e}"}
+        except Exception:  # noqa: BLE001 — one bad item must not fail the
+            # group: retry each request singly so only the offender errors
+            for (i, rid), item in zip(slots, items):
+                t1 = time.time()
+                try:
+                    diag = engine.diagnose_words([item])[0]
+                    resps[i] = _diag_response(diag, rid, time.time() - t1)
+                except Exception as e:  # noqa: BLE001
+                    resps[i] = {"status": "error", "id": rid,
+                                "error": f"{type(e).__name__}: {e}"}
     return resps
 
 
@@ -113,42 +120,49 @@ def handle_request(engine: InferenceEngine, line: str) -> dict:
     return handle_requests(engine, [line])[0]
 
 
-def _drain_ready(in_stream: IO[str], max_batch: int) -> list:
-    """Read additional request lines that are ALREADY available on the
-    stream without blocking (dynamic batching window).  Only possible
-    for real file descriptors; StringIO and friends serve one-by-one."""
-    import select
-
-    lines: list = []
-    try:
-        fd = in_stream.fileno()
-    except (AttributeError, OSError):
-        return lines
-    while len(lines) < max_batch - 1:
-        ready, _, _ = select.select([fd], [], [], 0)
-        if not ready:
-            break
-        line = in_stream.readline()
-        if not line:
-            break
-        if line.strip():
-            lines.append(line.strip())
-    return lines
-
-
 def serve_loop(engine: InferenceEngine, in_stream: IO[str],
                out_stream: IO[str], log=None, max_batch: int = 16) -> int:
     """Serve until EOF; returns the number of requests handled.
 
-    Requests already queued on the input when one is picked up are
-    processed together in one batched forward/decode (up to max_batch).
+    Requests already queued when one is picked up are processed together
+    in one batched forward/decode (up to max_batch).  A reader thread
+    pulls complete lines into a queue, so batching sees lines that are
+    sitting in the text wrapper's read-ahead buffer (an fd-level select
+    would not) and a partial line on the wire never blocks responses to
+    requests that are already complete.
     """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue()
+    _EOF = object()
+
+    def reader() -> None:
+        try:
+            for line in in_stream:
+                if line.strip():
+                    q.put(line.strip())
+        finally:
+            q.put(_EOF)
+
+    threading.Thread(target=reader, daemon=True).start()
+
     n = 0
-    for line in in_stream:
-        line = line.strip()
-        if not line:
-            continue
-        group = [line] + _drain_ready(in_stream, max_batch)
+    done = False
+    while not done:
+        item = q.get()
+        if item is _EOF:
+            break
+        group = [item]
+        while len(group) < max_batch:
+            try:
+                nxt = q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is _EOF:
+                done = True
+                break
+            group.append(nxt)
         resps = handle_requests(engine, group)
         for resp in resps:
             out_stream.write(json.dumps(resp, ensure_ascii=False) + "\n")

@@ -296,3 +296,58 @@ def test_serve_batched_requests(workdir, tiny_conf, reference_dir):
     assert [r["status"] for r in resps] == ["ok", "error", "ok", "error"]
     assert resps[0]["id"] == "a" and resps[2]["id"] == "b"
     assert resps[0]["canonical_row"] and resps[2]["canonical_row"]
+
+
+def test_serve_batch_isolates_failing_item(workdir, tiny_conf,
+                                           reference_dir):
+    """A request that fails INSIDE the batched diagnose (not at
+    validation) must not take down the others: the group retries singly
+    and only the offender errors."""
+    import argparse
+    import json
+
+    from mdd_tpu.cli import _build_engine
+    from mdd_tpu.serve import handle_requests
+
+    args = argparse.Namespace(
+        conf=str(tiny_conf), checkpoint=None,
+        cmvn=str(workdir / "global_fbank_cmvn.txt"),
+        dict_dir=None, ecdict_csv=None, denoise=False,
+        forgiving=None, phonetic_format="cmu")
+    engine = _build_engine(args)
+    demo = reference_dir / "egs" / "vocabulary" / "single"
+    lines = [
+        json.dumps({"id": "good", "wav": str(demo / "3.wav"),
+                    "word": "about"}),
+        # non-list canonical blows up vocab.encode inside the batched
+        # diagnose_words call (unknown PHONES map to UNK by design, so a
+        # bad phone list alone would not fail)
+        json.dumps({"id": "bad", "wav": str(demo / "2.wav"),
+                    "word": "gather", "canonical": 5}),
+    ]
+    resps = handle_requests(engine, lines)
+    assert resps[0]["status"] == "ok", resps[0]
+    assert resps[1]["status"] == "error", resps[1]
+
+
+def test_diagnose_words_rejects_duplicate_ids(workdir, tiny_conf,
+                                              reference_dir):
+    import argparse
+
+    import numpy as np
+
+    from mdd_tpu.cli import _build_engine
+    from mdd_tpu.frontend.wav import read_audio
+
+    args = argparse.Namespace(
+        conf=str(tiny_conf), checkpoint=None,
+        cmvn=str(workdir / "global_fbank_cmvn.txt"),
+        dict_dir=None, ecdict_csv=None, denoise=False,
+        forgiving=None, phonetic_format="cmu")
+    engine = _build_engine(args)
+    demo = reference_dir / "egs" / "vocabulary" / "single"
+    wav, _ = read_audio(str(demo / "3.wav"))
+    wav = wav.astype(np.float32)
+    with pytest.raises(ValueError, match="duplicate utt_ids"):
+        engine.diagnose_words([("u", wav, "about", None),
+                               ("u", wav, "gather", None)])
