@@ -219,7 +219,8 @@ def cmd_train(args) -> int:
                               num_epochs=cfg.num_epoches,
                               print_every=cfg.verbose_step,
                               checkpoint_dir=cfg.checkpoint_dir,
-                              exp_name=cfg.exp_name)
+                              exp_name=cfg.exp_name,
+                              resume=args.resume)
     finally:
         if args.profile_dir:
             jax.profiler.stop_trace()
@@ -398,6 +399,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--profile-dir",
                    help="capture a jax.profiler device trace of the run "
                         "into this directory (view with XProf/TensorBoard)")
+    q.add_argument("--resume", action="store_true",
+                   help="continue from the experiment's 'latest' "
+                        "checkpoint (params, optimizer, LR scheduler and "
+                        "loss histories are restored; no reference "
+                        "equivalent — the reference only saves its final "
+                        "best model)")
     q.set_defaults(fn=cmd_train)
 
     q = sub.add_parser("evaluate", help="MDD evaluation on the test set")

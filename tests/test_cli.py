@@ -351,3 +351,27 @@ def test_diagnose_words_rejects_duplicate_ids(workdir, tiny_conf,
     with pytest.raises(ValueError, match="duplicate utt_ids"):
         engine.diagnose_words([("u", wav, "about", None),
                                ("u", wav, "gather", None)])
+
+
+def test_cli_train_resume(workdir, tiny_conf, capsys):
+    """`train --resume` continues from the 'latest' checkpoint: the
+    resumed run reports the restored epoch and extends the loss history
+    instead of restarting from scratch."""
+    import re
+    import textwrap
+
+    conf = workdir / "conf_resume.yaml"
+    conf.write_text(tiny_conf.read_text().replace(
+        "exp_name: tiny", "exp_name: tiny_resume").replace(
+        "num_epoches: 2", "num_epoches: 1"))
+    assert main(["train", "--conf", str(conf)]) == 0
+    capsys.readouterr()
+
+    conf.write_text(conf.read_text().replace(
+        "num_epoches: 1", "num_epoches: 2"))
+    assert main(["train", "--conf", str(conf), "--resume"]) == 0
+    out = capsys.readouterr().out
+    assert "resumed from epoch 1" in out
+    # only epoch 2 runs in the resumed invocation
+    epochs = re.findall(r"Start training epoch: (\d+)", out)
+    assert epochs == ["2"], epochs
