@@ -286,7 +286,10 @@ def _build_engine(args):
         # demand, with an explicit warning if no toolchain is available
         from mdd_tpu import native
 
-        if native.ensure_built():
+        # native_available() loads (building on demand) the DENOISER lib
+        # specifically — ensure_built() covers all native libs and would
+        # report unavailable if only an unrelated one failed to build
+        if native.native_available():
             denoiser = native.spectral_denoise
         else:
             print("warning: native denoiser unavailable (no C++ toolchain); "
