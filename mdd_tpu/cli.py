@@ -105,7 +105,9 @@ def _build_loader(cfg, vocab, scp, lab, trans, train: bool,
                             process_index=jax.process_index(),
                             process_count=jax.process_count(),
                             wire_dtype=(cfg.wire_dtype or None)
-                            if device_fe else None)
+                            if device_fe else None,
+                            global_schedule=(True if getattr(
+                                cfg, "global_schedule", False) else None))
     if cfg.num_workers > 0:
         loader = ThreadedLoader(loader, prefetch=4)
     return loader

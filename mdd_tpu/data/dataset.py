@@ -169,6 +169,7 @@ class BucketedLoader:
         process_index: int = 0,
         process_count: int = 1,
         wire_dtype: Optional[str] = None,
+        global_schedule: Optional[bool] = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -188,10 +189,41 @@ class BucketedLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self._epoch = 0
-        # Multi-host DP: each host iterates a deterministic, equal-length
-        # shard of the utterance list (SURVEY.md §7 hard part 6); the
-        # per-item primary flags mark wrap-around duplicates so scoring
-        # counts each utterance exactly once across hosts.
+        self.process_index = process_index
+        self.process_count = process_count
+        # global_schedule (default: on for multi-process runs): every
+        # host computes ONE deterministic batch schedule over the full
+        # corpus — lengths learned up front from the ark headers, no
+        # feature payloads read — and loads only its own row slice of
+        # each global batch.  Equal shapes and batch counts across hosts
+        # are then guaranteed by construction (the streaming analogue of
+        # CachedLoader's scheme; per-host independent bucketing could
+        # diverge in shape and deadlock the collectives).  Off in
+        # single-process runs to preserve the established behavior.
+        self.global_schedule = (process_count > 1 if global_schedule is None
+                                else bool(global_schedule))
+        self.shape_coordinated = self.global_schedule or process_count == 1
+        if self.global_schedule:
+            from mdd_tpu.frontend import kaldi_io
+            from mdd_tpu.frontend.splice import output_frames
+
+            raw_rows = kaldi_io.matrix_rows(
+                [rx for _, rx, _, _ in dataset.items])
+            if getattr(dataset, "device_frontend", False):
+                self._tlens = np.asarray(raw_rows, np.int64)
+            else:
+                self._tlens = np.asarray(
+                    [output_frames(r, dataset.n_skip_frame,
+                                   dataset.n_downsample)
+                     for r in raw_rows], np.int64)
+            self._order = np.arange(len(dataset))
+            self._primary = np.ones(len(dataset), bool)
+            return
+        # Per-host sharding (single process, or explicit opt-out): each
+        # host iterates a deterministic, equal-length shard of the
+        # utterance list (SURVEY.md §7 hard part 6); the per-item primary
+        # flags mark wrap-around duplicates so scoring counts each
+        # utterance exactly once across hosts.
         from mdd_tpu.data.prefetch import shard_for_host_primary
 
         order, primary = shard_for_host_primary(
@@ -200,6 +232,10 @@ class BucketedLoader:
         self._primary = np.asarray(primary, bool)
 
     def __len__(self) -> int:
+        if self.global_schedule:
+            g = self.batch_size * self.process_count
+            n = len(self._order)
+            return n // g if self.drop_last else -(-n // g)
         n = len(self._order)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
@@ -223,6 +259,9 @@ class BucketedLoader:
         epoch = self._epoch
         rng = np.random.default_rng(self.seed + epoch)
         self._epoch += 1
+        if self.global_schedule:
+            yield from self._iter_global(epoch, rng)
+            return
         order = np.array(self._order)
         primary = np.array(self._primary)
         if self.shuffle:
@@ -245,6 +284,70 @@ class BucketedLoader:
                 if self.drop_last and len(chunk) < self.batch_size:
                     continue
                 yield self._collate(chunk)
+
+    def _iter_global(self, epoch: int, rng) -> Iterator[Batch]:
+        """Deterministic global batch schedule (multi-process streaming).
+
+        Identical on every host: shuffle the full index list, sort each
+        global window by the precomputed post-transform length, chunk
+        into global batches of batch_size * process_count rows (tail
+        padded by repeating the last item, valid=False).  Each host then
+        LOADS only its own row slice; t/l shapes come from the whole
+        global chunk, so every host compiles the same program.
+        """
+        g = self.batch_size * self.process_count
+        order = np.array(self._order)
+        if self.shuffle:
+            order = order[rng.permutation(len(order))]
+            window = g * 16
+        else:
+            window = len(order)
+        for wstart in range(0, len(order), window):
+            widx = order[wstart:wstart + window]
+            widx = widx[np.argsort(self._tlens[widx], kind="stable")]
+            for bstart in range(0, len(widx), g):
+                chunk = list(widx[bstart:bstart + g])
+                if self.drop_last and len(chunk) < g:
+                    continue
+                yield self._collate_global(chunk, epoch)
+
+    def _collate_global(self, chunk, epoch: int) -> Batch:
+        g = self.batch_size * self.process_count
+        n_real = len(chunk)
+        chunk = chunk + [chunk[-1]] * (g - n_real)   # pad: repeat last
+        # shapes from the GLOBAL chunk (identical on every host)
+        t_max = _round_up(int(max(self._tlens[i] for i in chunk)),
+                          self.time_quantum)
+        l_max = _round_up(max(len(self.ds.items[i][2]) for i in chunk),
+                          self.label_quantum)
+        l2_max = _round_up(max(len(self.ds.items[i][3]) for i in chunk),
+                           self.label_quantum)
+        lo = self.process_index * self.batch_size
+        slots = range(lo, lo + self.batch_size)
+        local = [chunk[s] for s in slots]
+        loaded = self._load_many(local, epoch)
+        b = self.batch_size
+        d = loaded[0][0].shape[1]
+        inputs = np.zeros((b, t_max, d), self.wire_dtype)
+        fracs = np.zeros(b, np.float32)
+        targets = np.zeros((b, l_max), np.int32)
+        tsizes = np.zeros(b, np.int32)
+        trans = np.zeros((b, l2_max), np.int32)
+        trsizes = np.zeros(b, np.int32)
+        score = np.zeros(b, bool)
+        utts = []
+        for k, ((feat, label, tr, utt), s) in enumerate(zip(loaded, slots)):
+            valid = s < n_real
+            inputs[k, : feat.shape[0]] = feat
+            fracs[k] = feat.shape[0] / t_max
+            targets[k, : len(label)] = label
+            tsizes[k] = len(label)
+            trans[k, : len(tr)] = tr
+            trsizes[k] = len(tr)
+            score[k] = valid
+            utts.append(utt if valid else "<pad>")
+        return Batch(inputs, fracs, targets, tsizes, trans, trsizes, utts,
+                     score_mask=score)
 
     def _collate(self, chunk) -> Batch:
         b = len(chunk)

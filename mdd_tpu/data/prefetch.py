@@ -43,6 +43,10 @@ class ThreadedLoader:
     def batch_size(self):
         return getattr(self.loader, "batch_size", None)
 
+    @property
+    def shape_coordinated(self):
+        return getattr(self.loader, "shape_coordinated", False)
+
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         err: List[BaseException] = []

@@ -184,3 +184,69 @@ def bulk_load(rxspecifiers) -> list:
                 out[k] = mat if mat is not None else load_mat(
                     f"{path}:{off}")
     return out
+
+
+def _iter_ark_headers(path: str) -> Iterator[Tuple[str, int, int, int]]:
+    """Header-only ark scan: (utt, marker_offset, rows, cols) per entry,
+    seeking over the payloads — cheap way to learn every matrix's length
+    without reading feature data."""
+    with open(path, "rb") as f:
+        while True:
+            utt = _read_token(f)
+            if not utt:
+                return
+            offset = f.tell()
+            if f.read(2) != b"\x00B":
+                raise ValueError("only binary arks are supported")
+            token = _read_token(f)
+            if token not in ("BFM", "BDM"):
+                raise ValueError(f"unsupported token {token!r}")
+            itemsize = 4 if token == "BFM" else 8
+            assert f.read(1) == b"\x04"
+            rows = struct.unpack("<i", f.read(4))[0]
+            assert f.read(1) == b"\x04"
+            cols = struct.unpack("<i", f.read(4))[0]
+            f.seek(rows * cols * itemsize, 1)
+            yield utt, offset, rows, cols
+
+
+def matrix_rows(rxspecifiers) -> list:
+    """Row counts (frame lengths) for many scp entries without reading
+    feature payloads — native mmap index when built, header-only seeks
+    otherwise.  Input order preserved."""
+    groups: Dict[str, list] = {}
+    keys = []
+    for k, rx in enumerate(rxspecifiers):
+        if ":" in rx and rx.rsplit(":", 1)[1].isdigit():
+            path, off = rx.rsplit(":", 1)
+            keys.append((path, int(off)))
+        else:
+            keys.append((rx, None))
+        groups.setdefault(keys[-1][0], []).append((k, keys[-1][1]))
+    out = [0] * len(keys)
+    for path, entries in groups.items():
+        try:
+            from mdd_tpu.native import NativeArkReader
+
+            with NativeArkReader(path) as r:
+                for k, off in entries:
+                    i = 0 if off is None else r.by_offset.get(off)
+                    out[k] = (int(r.rows[i]) if i is not None
+                              else load_mat(f"{path}:{off}").shape[0])
+            continue
+        except OSError:
+            pass
+        by_off: Dict[int, int] = {}
+        first = None
+        for _, off, rows, _ in _iter_ark_headers(path):
+            if first is None:
+                first = rows
+            by_off[off] = rows
+        for k, off in entries:
+            if off is None:
+                out[k] = first
+            else:
+                r = by_off.get(off)
+                out[k] = (r if r is not None
+                          else load_mat(f"{path}:{off}").shape[0])
+    return out

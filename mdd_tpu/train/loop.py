@@ -382,25 +382,27 @@ class Trainer:
                         self.state, cache_arr, idx, lengths, aug, rest,
                         acc)
             else:
-                if jax.process_count() > 1 and i == 0:
+                if (jax.process_count() > 1 and i == 0
+                        and not getattr(loader, "shape_coordinated",
+                                        False)):
                     import warnings
 
                     warnings.warn(
                         "multi-process run_epoch over a host-sharded "
-                        "streaming loader: per-host bucket schedules can "
-                        "diverge in shape and deadlock the collectives — "
-                        "use device_cache: true (CachedLoader builds one "
-                        "global batch schedule) unless batches are "
-                        "shape-coordinated across hosts")
+                        "streaming loader with global_schedule disabled: "
+                        "per-host bucket schedules can diverge in shape "
+                        "and deadlock the collectives")
                 target_b = (full_b if full_b and batch.size <= full_b
                             else batch.size)
                 padded, valid = pad_batch_to(
                     batch, -(-target_b // n_dev) * n_dev)
-                if not train and padded.score_mask is not None:
-                    # multi-host wrap-around duplicates: processed (equal
-                    # batch counts) but excluded from eval loss/WER so
-                    # each utterance is counted once (the dev loss drives
-                    # the plateau scheduler and best-checkpoint choice)
+                if padded.score_mask is not None:
+                    # rows masked by the loader (global-schedule batch
+                    # padding, multi-host wrap-around duplicates) are
+                    # processed for shape/batch-count parity but excluded
+                    # from loss, BN statistics and WER — each utterance
+                    # counts once (the reference trains/scores every utt
+                    # exactly once per epoch)
                     valid = valid & np.asarray(padded.score_mask, bool)
                 arrays = self._batch_arrays(padded, valid)
                 if train:

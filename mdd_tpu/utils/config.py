@@ -103,6 +103,11 @@ class Config:
     # to the host pipeline, tests/test_device_cache.py).  Requires
     # device_frontend.
     device_cache: bool = False
+    # global_schedule: force the streaming loader's deterministic global
+    # batch schedule even in single-process runs (it is automatic under
+    # multi-process; see BucketedLoader) — mainly for pinning
+    # single-vs-multi-process parity
+    global_schedule: bool = False
 
     # decoding
     decode_type: str = "Beam"     # reference quirk: anything != 'Greedy' -> Beam

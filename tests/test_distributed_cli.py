@@ -186,3 +186,51 @@ def test_cli_evaluate_distributed_matches_single(corpus):
     for o in outs:
         assert "distributed: process" in o
         assert metrics(o) == want, (metrics(o), want)
+
+
+def _conf_streaming(corpus: Path, name: str, batch_size: int,
+                    force_global: bool) -> Path:
+    conf = corpus / f"{name}.yaml"
+    conf.write_text(textwrap.dedent(f"""\
+        exp_name: {name}
+        checkpoint_dir: ''
+        vocab_file: {corpus}/units
+        train_scp_path: {corpus}/f.scp
+        train_lab_path: {corpus}/lab
+        train_trans_path: {corpus}/trn
+        valid_scp_path: {corpus}/f.scp
+        valid_lab_path: {corpus}/lab
+        valid_trans_path: {corpus}/trn
+        test_scp_path: {corpus}/f.scp
+        test_lab_path: {corpus}/lab
+        test_trans_path: {corpus}/trn
+        rnn_hidden_size: 16
+        rnn_layers: 1
+        batch_size: {batch_size}
+        num_epoches: 1
+        verbose_step: 50
+        max_adjust_times: 1
+        num_workers: 0
+        shuffle_train: false
+        global_schedule: {str(force_global).lower()}
+    """))
+    return conf
+
+
+def test_cli_train_distributed_streaming_loader(corpus):
+    """The STREAMING loader's global batch schedule across two real
+    processes: no device cache, features loaded per host slice, shapes
+    coordinated via the header-scanned lengths — losses equal the
+    single-process run of the same global schedule."""
+    single = _run_cli(
+        _conf_streaming(corpus, "stream_single", 8, force_global=True),
+        1, 2)[0]
+    want = _losses(single)
+    assert len(want) == 2
+
+    outs = _run_cli(
+        _conf_streaming(corpus, "stream_dist", 4, force_global=False),
+        2, 1)
+    got0, got1 = _losses(outs[0]), _losses(outs[1])
+    np.testing.assert_allclose(got0, got1, rtol=0, atol=0)
+    np.testing.assert_allclose(got0, want, rtol=1e-4)
