@@ -204,18 +204,8 @@ class BucketedLoader:
                                 else bool(global_schedule))
         self.shape_coordinated = self.global_schedule or process_count == 1
         if self.global_schedule:
-            from mdd_tpu.frontend import kaldi_io
-            from mdd_tpu.frontend.splice import output_frames
-
-            raw_rows = kaldi_io.matrix_rows(
-                [rx for _, rx, _, _ in dataset.items])
-            if getattr(dataset, "device_frontend", False):
-                self._tlens = np.asarray(raw_rows, np.int64)
-            else:
-                self._tlens = np.asarray(
-                    [output_frames(r, dataset.n_skip_frame,
-                                   dataset.n_downsample)
-                     for r in raw_rows], np.int64)
+            self._tlens, self._llens, self._l2lens = \
+                self._schedule_lengths(dataset)
             self._order = np.arange(len(dataset))
             self._primary = np.ones(len(dataset), bool)
             return
@@ -230,6 +220,41 @@ class BucketedLoader:
             list(range(len(dataset))), process_index, process_count)
         self._order = np.asarray(order)
         self._primary = np.asarray(primary, bool)
+
+    @staticmethod
+    def _schedule_lengths(dataset):
+        """(post-transform frame, label, transcript) lengths per item.
+
+        The global schedule needs every item's shape up front so all
+        hosts derive identical batch geometry without reading payloads.
+        Ark-backed SpeechDatasets answer from ark headers (one mmap'd
+        scan, no feature bytes); any other dataset — stubs, synthetic
+        corpora, future storage backends — falls back to loading each
+        item once in eval mode (SpecAugment and transcript mutation are
+        length-preserving, so probed lengths hold for every epoch)."""
+        items = getattr(dataset, "items", None)
+        if items is not None:
+            from mdd_tpu.frontend import kaldi_io
+            from mdd_tpu.frontend.splice import output_frames
+
+            raw_rows = kaldi_io.matrix_rows([rx for _, rx, _, _ in items])
+            if getattr(dataset, "device_frontend", False):
+                tlens = np.asarray(raw_rows, np.int64)
+            else:
+                tlens = np.asarray(
+                    [output_frames(r, dataset.n_skip_frame,
+                                   dataset.n_downsample)
+                     for r in raw_rows], np.int64)
+            llens = np.asarray([len(it[2]) for it in items], np.int64)
+            l2lens = np.asarray([len(it[3]) for it in items], np.int64)
+            return tlens, llens, l2lens
+        tlens = np.empty(len(dataset), np.int64)
+        llens = np.empty(len(dataset), np.int64)
+        l2lens = np.empty(len(dataset), np.int64)
+        for i in range(len(dataset)):
+            feat, label, tr, _ = dataset.load_item(i, rng=None)
+            tlens[i], llens[i], l2lens[i] = feat.shape[0], len(label), len(tr)
+        return tlens, llens, l2lens
 
     def __len__(self) -> int:
         if self.global_schedule:
@@ -318,9 +343,9 @@ class BucketedLoader:
         # shapes from the GLOBAL chunk (identical on every host)
         t_max = _round_up(int(max(self._tlens[i] for i in chunk)),
                           self.time_quantum)
-        l_max = _round_up(max(len(self.ds.items[i][2]) for i in chunk),
+        l_max = _round_up(int(max(self._llens[i] for i in chunk)),
                           self.label_quantum)
-        l2_max = _round_up(max(len(self.ds.items[i][3]) for i in chunk),
+        l2_max = _round_up(int(max(self._l2lens[i] for i in chunk)),
                            self.label_quantum)
         lo = self.process_index * self.batch_size
         slots = range(lo, lo + self.batch_size)
