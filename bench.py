@@ -38,6 +38,7 @@ BENCH_STEPS = 30
 
 DECODE_BATCH = 512
 DECODE_FRAMES = 80   # model output frames for a 3.2 s utterance
+DECODE_ROUNDS = 6    # timed rounds; mean reported with min/max dispersion
 BEAM_WIDTH = 10
 REFERENCE_DECODE_MIN_900 = 3.25   # result/train.log:3703-3705
 
@@ -139,8 +140,20 @@ def bench_train(cfg, extra: dict) -> float:
 
 
 def bench_decode(cfg, extra: dict) -> None:
-    """Batched jit prefix-beam decode throughput (K=10, committed LM)."""
+    """Batched jit prefix-beam decode throughput (K=10, committed LM).
+
+    Measured through the PRODUCTION path: `decode_log` on device-resident
+    log-probs — exactly how `EvalSession` feeds the decoder (the model's
+    log-softmax output is already on device; evals/evaluate.py decode_log
+    call).  The pre-round-4 bench called `decode(probs)` which paid a
+    host->device transfer plus a probs->log conversion the production
+    path never sees.  Reported with dispersion (mean/min/max over
+    DECODE_ROUNDS timed rounds) because the tunnel-attached chip's
+    dispatch latency varies run to run."""
     import pathlib
+
+    import jax
+    import jax.numpy as jnp
 
     from mdd_tpu.data.vocab import Vocab
     from mdd_tpu.decode.beam_jit import BatchedBeamDecoder
@@ -161,19 +174,21 @@ def bench_decode(cfg, extra: dict) -> None:
     logits = rng.standard_normal(
         (DECODE_BATCH, DECODE_FRAMES, vocab.n_words)).astype(np.float32)
     logits[:, :, 0] += 2.0    # realistic blank-dominated posteriors
-    probs = np.exp(logits - logits.max(-1, keepdims=True))
-    probs /= probs.sum(-1, keepdims=True)
+    log_probs = jax.device_put(jnp.asarray(
+        logits - jax.scipy.special.logsumexp(logits, -1, keepdims=True)))
     lengths = [DECODE_FRAMES] * DECODE_BATCH
 
-    dec.decode(probs, lengths)          # compile
-    t0 = time.perf_counter()
-    n_rounds = 3
-    for _ in range(n_rounds):
-        out = dec.decode(probs, lengths)
-    elapsed = time.perf_counter() - t0
+    dec.decode_log(log_probs, lengths)          # compile
+    rates = []
+    for _ in range(DECODE_ROUNDS):
+        t0 = time.perf_counter()
+        out = dec.decode_log(log_probs, lengths)
+        rates.append(DECODE_BATCH / (time.perf_counter() - t0))
     assert len(out) == DECODE_BATCH
-    utts_per_s = n_rounds * DECODE_BATCH / elapsed
+    utts_per_s = float(np.mean(rates))
     extra["decode_utts_per_s"] = round(utts_per_s, 1)
+    extra["decode_utts_per_s_min"] = round(float(np.min(rates)), 1)
+    extra["decode_utts_per_s_max"] = round(float(np.max(rates)), 1)
     extra["decode_beam_width"] = BEAM_WIDTH
     extra["decode_min_per_900_utts"] = round(900 / utts_per_s / 60, 4)
     extra["decode_vs_reference"] = round(
