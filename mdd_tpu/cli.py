@@ -157,9 +157,34 @@ def cmd_feat(args) -> int:
     from mdd_tpu.frontend.cmvn import parse_kaldi_cmvn_text
     from mdd_tpu.frontend.pipeline import extract_split
 
+    feat_type = getattr(args, "feat_type", "fbank")
+    if feat_type == "spectrogram":
+        # legacy path parity (local/make_spectrum.py): plain ark/scp of
+        # log-spectrograms, no CMVN stage.
+        from pathlib import Path
+
+        from mdd_tpu.frontend.spectrogram import make_spectrum
+
+        out = Path(args.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        name = args.name if args.name != "fbank" else "spectrogram"
+        scp_path = str(out / f"{name}.scp")
+        make_spectrum(args.wav_scp, str(out / f"{name}.ark"), scp_path)
+        print(f"features -> {scp_path}")
+        return 0
+    if feat_type == "mfcc":
+        from mdd_tpu.frontend.mfcc import MfccConfig
+
+        cfg = MfccConfig()
+        name = args.name if args.name != "fbank" else "mfcc"
+    else:
+        from mdd_tpu.frontend.fbank import FbankConfig
+
+        cfg = FbankConfig()
+        name = args.name
     cmvn = parse_kaldi_cmvn_text(args.cmvn) if args.cmvn else None
     scp_path, _ = extract_split(args.wav_scp, args.out_dir,
-                                name=args.name, cmvn=cmvn,
+                                name=name, cfg=cfg, cmvn=cmvn,
                                 batch_size=args.batch_size)
     print(f"features -> {scp_path}")
     return 0
@@ -383,9 +408,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--out", required=True)
     q.set_defaults(fn=cmd_units)
 
-    q = sub.add_parser("feat", help="extract fbank features")
+    q = sub.add_parser("feat", help="extract acoustic features")
     q.add_argument("--wav-scp", required=True)
     q.add_argument("--out-dir", required=True)
+    q.add_argument("--feat-type", default="fbank",
+                   choices=["fbank", "mfcc", "spectrogram"],
+                   help="feature type (make_feat.sh feat_type parity)")
     q.add_argument("--name", default="fbank")
     q.add_argument("--cmvn", help="existing CMVN stats (else trained here)")
     q.add_argument("--batch-size", type=int, default=16)

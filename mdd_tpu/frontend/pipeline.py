@@ -35,11 +35,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 class _BatchedFbank:
-    """jit-compiled fbank over (B, S) padded waveforms, cached per shape."""
+    """jit-compiled feature extractor over (B, S) padded waveforms.
 
-    def __init__(self, cfg: FbankConfig):
+    Dispatches on the config type: FbankConfig -> compute_fbank_batch,
+    MfccConfig -> compute_mfcc_batch (the `feat_type` switch of the
+    reference runner, steps/make_feat.sh:25-39)."""
+
+    def __init__(self, cfg):
         self.cfg = cfg
-        self._fn = jax.jit(lambda w, l: compute_fbank_batch(w, l, cfg))
+        from mdd_tpu.frontend.mfcc import MfccConfig, compute_mfcc_batch
+
+        batch_fn = (compute_mfcc_batch if isinstance(cfg, MfccConfig)
+                    else compute_fbank_batch)
+        self._fn = jax.jit(lambda w, l: batch_fn(w, l, cfg))
 
     def __call__(self, wavs: Sequence[np.ndarray]) -> List[np.ndarray]:
         lengths = np.asarray([len(w) for w in wavs], np.int32)
