@@ -65,6 +65,11 @@ class CachedBatch:
     utt_ids: List[str]
     valid: np.ndarray         # (B,) bool — False rows are batch padding
     score_mask: Optional[np.ndarray] = None  # multi-host scoring primaries
+    # (B_global,) int32 — the FULL global batch's row ids (identical on
+    # every host).  The row-sharded cache gather needs every device to
+    # see all slots' ids (train.loop shard_map assemble); equals `idx`
+    # in single-process runs.
+    global_idx: Optional[np.ndarray] = None
 
     @property
     def size(self) -> int:
@@ -77,7 +82,16 @@ class DeviceFeatureCache:
     Features are grouped into raw-length buckets (same raw-grid quantum as
     BucketedLoader's device-frontend mode, so batched_splice_skip's
     divisibility holds) and stacked into one (n_b, T_b, D) array per
-    bucket, replicated over the data mesh.
+    bucket, **row-sharded over the ('data',) mesh axis**: device d holds
+    rows [d*m, (d+1)*m) of each bucket, so per-device HBM is ~corpus/N and
+    the one-time upload moves each byte to exactly one device.  Batch
+    assembly inside the jit step is a shard_map local-gather +
+    psum_scatter over ICI (train.loop._make_cached_step) — each batch
+    row's (T, D) payload crosses ICI exactly once (~0.25 ms for a 25 MB
+    batch at ICI bandwidth), and the assembled batch is bit-identical to
+    the old fully-replicated gather (one device contributes each row; the
+    others add exact bf16 zeros).  `shard_rows=False` restores the
+    replicated layout (used when the consumer isn't the sharded step).
     """
 
     def __init__(
@@ -88,12 +102,15 @@ class DeviceFeatureCache:
         wire_dtype: str = "bfloat16",
         num_workers: int = 8,   # unused since the bulk-ingest path
         # (kaldi_io.bulk_load opens each ark once); kept for API compat
+        shard_rows: bool = True,
     ):
         assert getattr(dataset, "device_frontend", False), (
             "DeviceFeatureCache requires a device_frontend dataset: the "
             "cache stores RAW features; splice/skip run inside the jit step")
         self.ds = dataset
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.shard_rows = shard_rows
+        n_dev = int(self.mesh.devices.size)
         skip = max(dataset.n_skip_frame, 1)
         self.raw_quantum = _round_up(time_quantum * skip,
                                      skip * dataset.n_downsample)
@@ -120,13 +137,28 @@ class DeviceFeatureCache:
         self.row_of = row_of
         self.buckets: Dict[int, jax.Array] = {}
         self.bytes = 0
-        repl = replicated(self.mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = (NamedSharding(self.mesh, P("data")) if shard_rows
+                    else replicated(self.mesh))
         for b, rows in self.bucket_items.items():
-            arr = np.zeros((len(rows), b, self.feat_dim), dtype)
+            # row-sharded arrays need the row count divisible by the mesh;
+            # pad rows never appear in row_of, so they are never gathered
+            n_rows = (_round_up(len(rows), n_dev) if shard_rows
+                      else len(rows))
+            arr = np.zeros((n_rows, b, self.feat_dim), dtype)
             for r, i in enumerate(rows):
                 arr[r, : feats[i].shape[0]] = feats[i]
             self.bytes += arr.nbytes
-            self.buckets[b] = jax.device_put(arr, repl)
+            # make_array_from_callback uploads exactly the rows each
+            # device owns (and works under real multi-process runs, where
+            # device_put to a global sharding would see non-addressable
+            # devices)
+            self.buckets[b] = jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx, a=arr: a[idx])
+        # replicated layouts keep a full copy on every device
+        self.bytes_per_device = (self.bytes // n_dev if shard_rows
+                                 else self.bytes)
 
     def __len__(self) -> int:
         return len(self.ds)
@@ -253,13 +285,15 @@ class CachedLoader:
         # row is a scoring primary
         score = valid.copy()
         if self.process_count > 1:
-            # this host's row slice of the global batch
+            # this host's row slice of the global batch; global_idx keeps
+            # the full schedule for the row-sharded cache gather
             lo = self.process_index * self._pad_to
             hi = lo + self._pad_to
             sl = slice(lo, hi)
             return CachedBatch(bucket, idx[sl], lengths[sl], aug[sl],
                                targets[sl], tsizes[sl], trans_a[sl],
                                trsizes[sl], utts[lo:hi], valid[sl],
-                               score_mask=score[sl])
+                               score_mask=score[sl], global_idx=idx)
         return CachedBatch(bucket, idx, lengths, aug, targets, tsizes,
-                           trans_a, trsizes, utts, valid, score_mask=score)
+                           trans_a, trsizes, utts, valid, score_mask=score,
+                           global_idx=idx)

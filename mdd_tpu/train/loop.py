@@ -40,6 +40,20 @@ class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
 
 
+def exact_output_sizes(model_frames, out_len: int, total_frames: int):
+    """Per-item model-output frame counts, exact for any padded width.
+
+    The device-frontend paths know each item's true model-frame count m
+    as an integer, so the post-downsampling size is exact integer
+    arithmetic: floor(m * out_len / T).  The reference-style float path
+    — floor(float32(m / T) * out_len) — can differ by one frame between
+    two padded widths T for the same m (float32 rounding of the
+    fraction), which made the cached (bucket-width) and streaming
+    (batch-width) production input paths disagree on mixed-length
+    corpora (round-3 advisor finding)."""
+    return (model_frames * out_len) // total_frames
+
+
 def make_optimizer(weight_decay: float):
     """Adam + L2 (coupled) weight decay — torch.optim.Adam(weight_decay=..)
     semantics as used by the reference (train_ctc.py:187)."""
@@ -141,6 +155,7 @@ class Trainer:
         # loss, so padding never biases gradients — the torch reference
         # always trains on true batch sizes (train_ctc.py:42-98).
         inputs, fracs, targets, tsizes, trans, trsizes, mask = batch_arrays
+        model_frames = None
         if self.device_frontend:
             from mdd_tpu.frontend.splice import batched_splice_skip
 
@@ -169,7 +184,14 @@ class Trainer:
                 sample_mask=mask)
             new_stats = batch_stats
         out_len = log_probs.shape[0]
-        input_sizes = (fracs * out_len).astype(jnp.int32)
+        if model_frames is not None:
+            input_sizes = exact_output_sizes(model_frames, out_len,
+                                             inputs.shape[1])
+        else:
+            # host-spliced path: fractions are all the loader ships;
+            # floor(frac * out_len) reproduces the reference's length
+            # bookkeeping (train_ctc.py:68)
+            input_sizes = (fracs * out_len).astype(jnp.int32)
         nll = ctc_loss(log_probs, input_sizes, targets, tsizes)
         maskf = mask.astype(nll.dtype)
         # CTCLoss(sum) / true batch size — reference train_ctc.py:72-74.
@@ -231,26 +253,68 @@ class Trainer:
                        out_shardings=repl,
                        donate_argnums=(2,))
 
-    def _make_cached_step(self, train: bool):
+    def _make_cached_step(self, train: bool, sharded_cache: bool = True):
         """Step over the device-resident feature cache (data.device_cache).
 
         The batch arrives as an index vector into the HBM-resident bucket
         array plus label/augmentation metadata — a few KB on the wire
         instead of the full feature payload.  The gather, SpecAugment
         masking, splice/skip and the whole train step fuse into one jit
-        program; the cache array itself is a replicated jit argument that
-        never moves after upload.
+        program; the cache array never moves after upload.
+
+        With `sharded_cache` (the default layout — DeviceFeatureCache
+        row-shards each bucket over the ('data',) axis so per-device HBM
+        is ~corpus/N), batch assembly is a shard_map: each device takes
+        the rows it owns for every global batch slot (out-of-shard slots
+        contribute exact zeros) and one psum_scatter over ICI delivers
+        slot k's row to the device that computes batch row k.  Exactly
+        one device contributes each slot, so the assembled batch is
+        bit-identical to a replicated-cache take; the ICI cost is one
+        batch payload per step (~0.25 ms at v5e ICI bandwidth for a
+        25 MB batch) against an N-fold HBM and upload saving.
         """
         assert self.device_frontend, (
             "the device cache stores raw features; construct the Trainer "
             "with device_frontend=True")
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from mdd_tpu.frontend.augment import apply_spec_augment_masks
 
         data_sh = batch_sharding(self.mesh)
         repl = replicated(self.mesh)
+        n_total = int(self.mesh.devices.size)
+
+        if sharded_cache:
+            cache_sh = NamedSharding(self.mesh, P("data"))
+            idx_sh = repl      # every device needs all slots' row ids
+
+            def assemble(cache, idx):
+                m = cache.shape[0] // n_total
+
+                def body(c_local, idx_full):
+                    d = jax.lax.axis_index("data")
+                    local = idx_full - d * m
+                    ok = (local >= 0) & (local < m)
+                    rows = jnp.take(c_local, jnp.clip(local, 0, m - 1),
+                                    axis=0)
+                    contrib = jnp.where(ok[:, None, None], rows,
+                                        jnp.zeros((), c_local.dtype))
+                    return jax.lax.psum_scatter(
+                        contrib, "data", scatter_dimension=0, tiled=True)
+
+                return shard_map(body, mesh=self.mesh,
+                                 in_specs=(P("data"), P()),
+                                 out_specs=P("data"))(cache, idx)
+        else:
+            cache_sh = repl
+            idx_sh = data_sh
+
+            def assemble(cache, idx):
+                return jnp.take(cache, idx, axis=0)
 
         def gather(cache, idx, lengths, aug, rest):
-            inputs = jnp.take(cache, idx, axis=0)
+            inputs = assemble(cache, idx)
             inputs = apply_spec_augment_masks(inputs, aug)
             fracs = lengths.astype(jnp.float32) / inputs.shape[1]
             return (inputs, fracs) + tuple(rest)
@@ -275,7 +339,7 @@ class Trainer:
 
             return jax.jit(
                 step,
-                in_shardings=(repl, repl, data_sh, data_sh, data_sh,
+                in_shardings=(repl, cache_sh, idx_sh, data_sh, data_sh,
                               (data_sh,) * 5, repl, repl),
                 out_shardings=(repl, repl),
                 donate_argnums=(0, 7))
@@ -290,16 +354,18 @@ class Trainer:
 
         return jax.jit(
             eval_step,
-            in_shardings=(repl, repl, data_sh, data_sh, data_sh,
+            in_shardings=(repl, cache_sh, idx_sh, data_sh, data_sh,
                           (data_sh,) * 5, repl),
             out_shardings=repl,
             donate_argnums=(6,))
 
-    def _step_fn(self, train: bool, cached: bool = False):
-        key = (train, cached)
+    def _step_fn(self, train: bool, cached: bool = False,
+                 sharded_cache: bool = True):
+        key = (train, cached, cached and sharded_cache)
         if key not in self._jit_cache:
-            self._jit_cache[key] = (self._make_cached_step(train) if cached
-                                    else self._make_step(train))
+            self._jit_cache[key] = (
+                self._make_cached_step(train, sharded_cache) if cached
+                else self._make_step(train))
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
@@ -359,8 +425,10 @@ class Trainer:
 
         for i, batch in enumerate(loader):
             if isinstance(batch, CachedBatch):
+                sharded = getattr(cache, "shard_rows", False)
                 if cached_step_fn is None:
-                    cached_step_fn = self._step_fn(train, cached=True)
+                    cached_step_fn = self._step_fn(train, cached=True,
+                                                   sharded_cache=sharded)
                 assert batch.size % n_dev == 0, (
                     "CachedLoader batch_size %d must divide the %d-device "
                     "mesh" % (batch.size, n_dev))
@@ -368,9 +436,18 @@ class Trainer:
                     jnp.asarray(a) for a in (
                         batch.targets, batch.target_sizes, batch.trans,
                         batch.trans_sizes, np.asarray(batch.valid, bool))))
-                idx, lengths, aug = shard_batch(self.mesh, tuple(
-                    jnp.asarray(a) for a in (batch.idx, batch.lengths,
-                                             batch.aug)))
+                lengths, aug = shard_batch(self.mesh, tuple(
+                    jnp.asarray(a) for a in (batch.lengths, batch.aug)))
+                if sharded:
+                    # row-sharded cache: every device needs the FULL
+                    # global slot->row schedule (identical on all hosts)
+                    gidx = batch.global_idx if batch.global_idx is not None \
+                        else batch.idx
+                    idx = jax.device_put(jnp.asarray(gidx),
+                                         replicated(self.mesh))
+                else:
+                    (idx,) = shard_batch(self.mesh,
+                                         (jnp.asarray(batch.idx),))
                 cache_arr = cache.buckets[batch.bucket]
                 if train:
                     self.rng, dropout_rng = jax.random.split(self.rng)
