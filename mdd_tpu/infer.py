@@ -148,6 +148,11 @@ class InferenceEngine:
         self.cmvn = cmvn
         self.fbank_cfg = fbank_cfg
         self.phonetic = phonetic or Phonetic()
+        # fail at construction, not at the first word lookup, when the
+        # CMUdict assets aren't available (MDD_DICT_DIR unset and no
+        # reference mount) — a server would otherwise come up healthy
+        # and then error on every request
+        self.phonetic.validate_assets()
         # init-stage wall clock for the reference's 4-way RTF breakdown
         # (infer.py:588-597: model init / phone init / denoise / mdd infer)
         self._model_init_s = t1 - t0
@@ -236,19 +241,23 @@ class InferenceEngine:
         items: List[Tuple[str, np.ndarray, str, Optional[List[str]]]],
         time_quantum: int = 32,
     ) -> List[WordDiagnosis]:
-        """Diagnose several recorded words in ONE batched forward/decode.
+        """Diagnose several recorded words in batched forward/decodes.
 
         items: (utt_id, wav, word, canonical_units-or-None) tuples; the
-        serving path's dynamic batching (serve.py) uses this.  Each
-        item's frame count is exact, and items of equal padded length
-        reproduce diagnose_word bitwise.  Shorter items in a mixed batch
-        inherit the model's (and the torch reference's) unpacked-LSTM
-        property: the backward directions traverse the zero padding
-        before reaching real frames, so posteriors can shift ~1e-2 in
-        log space relative to the lone-utterance forward — the same
-        batching semantics evaluate_model has always had
-        (utils/data_loader.py pads to the batch max and model_ctc runs
-        unpacked LSTMs over it).
+        serving path's dynamic batching (serve.py) uses this.
+
+        **Response stability**: items are bucketed by padded model-frame
+        length (multiple of `time_quantum`), one forward/decode per
+        bucket.  Every item's batch is therefore padded to a width
+        determined by its OWN length alone, so a wav's diagnosis can
+        never depend on what it was co-batched with.  Without the
+        bucketing, shorter items in a mixed batch inherit the model's
+        (and the torch reference's) unpacked-LSTM property — the
+        backward directions traverse the co-batch's extra zero padding,
+        shifting posteriors ~1e-2 in log space and occasionally a
+        near-tie diagnosis (pinned by tests/test_infer.py).  Featurize
+        still runs once over the whole group; each bucket's padded
+        width is a jit-cached shape.
         """
         if not items:
             return []
@@ -261,8 +270,6 @@ class InferenceEngine:
             metas.append((utt, word) + self._word_meta(word, canonical_units))
             wavs[utt] = wav
         feats = self._featurize(wavs)
-        # one padded batch: per-item splice/skip, time padded to a small
-        # closed set of shapes (multiple of 32 model frames)
         xs, trans_ids = [], []
         for utt, _, canonical_units, *_ in metas:
             x = pad_to_multiple(
@@ -271,37 +278,46 @@ class InferenceEngine:
                             self.n_skip_frame), self.n_downsample)
             xs.append(np.asarray(x, np.float32))
             trans_ids.append(self.vocab.encode(canonical_units))
-        b = len(items)
-        t_max = (-(-max(x.shape[0] for x in xs) // time_quantum)
-                 * time_quantum)
-        # label axis quantized too (same quantum as _model_batch): a
-        # long-lived server would otherwise recompile the forward for
-        # every new max canonical length
-        l_max = (-(-max(len(t) for t in trans_ids) // self.LABEL_QUANTUM)
-                 * self.LABEL_QUANTUM)
-        inputs = np.zeros((b, t_max, xs[0].shape[1]), np.float32)
-        fracs = np.zeros(b, np.float32)
-        trans = np.zeros((b, l_max), np.int32)
-        trsizes = np.zeros(b, np.int32)
-        out_max = self.session.cfg.output_frames(t_max)
-        for i, (x, t) in enumerate(zip(xs, trans_ids)):
-            inputs[i, : x.shape[0]] = x
-            # frac chosen so floor(frac * out_len) lands EXACTLY on the
-            # item's own model frame count — the naive t_i/t_max ratio
-            # can truncate the final frame under float32 (the loader
-            # keeps that floor behavior for reference parity; here the
-            # single-word path uses frac=1.0, so the batch must match it)
-            n_i = self.session.cfg.output_frames(x.shape[0])
-            fracs[i] = min(1.0, (n_i + 0.5) / out_max)
-            trans[i, : len(t)] = t
-            trsizes[i] = len(t)
-        batch = Batch(inputs=inputs, input_fracs=fracs,
-                      targets=trans.copy(), target_sizes=trsizes.copy(),
-                      trans=trans, trans_sizes=trsizes,
-                      utt_ids=[m[0] for m in metas])
-        decoded_lists, _ = self.session.decode_batch(batch)
-        return [self._diagnose_decoded(meta, decoded)
-                for meta, decoded in zip(metas, decoded_lists)]
+        # bucket by padded length -> per-item-deterministic padding
+        buckets: Dict[int, List[int]] = {}
+        for i, x in enumerate(xs):
+            t_pad = -(-x.shape[0] // time_quantum) * time_quantum
+            buckets.setdefault(t_pad, []).append(i)
+        out: List[Optional[WordDiagnosis]] = [None] * len(items)
+        for t_max in sorted(buckets):
+            group = buckets[t_max]
+            b = len(group)
+            # label axis quantized too (same quantum as _model_batch): a
+            # long-lived server would otherwise recompile the forward
+            # for every new max canonical length
+            l_max = (-(-max(len(trans_ids[i]) for i in group)
+                       // self.LABEL_QUANTUM) * self.LABEL_QUANTUM)
+            inputs = np.zeros((b, t_max, xs[0].shape[1]), np.float32)
+            fracs = np.zeros(b, np.float32)
+            trans = np.zeros((b, l_max), np.int32)
+            trsizes = np.zeros(b, np.int32)
+            out_max = self.session.cfg.output_frames(t_max)
+            for k, i in enumerate(group):
+                x, t = xs[i], trans_ids[i]
+                inputs[k, : x.shape[0]] = x
+                # frac chosen so floor(frac * out_len) lands EXACTLY on
+                # the item's own model frame count — the naive t_i/t_max
+                # ratio can truncate the final frame under float32 (the
+                # loader keeps that floor behavior for reference parity;
+                # the single-word path uses frac=1.0, so the batch must
+                # match it)
+                n_i = self.session.cfg.output_frames(x.shape[0])
+                fracs[k] = min(1.0, (n_i + 0.5) / out_max)
+                trans[k, : len(t)] = t
+                trsizes[k] = len(t)
+            batch = Batch(inputs=inputs, input_fracs=fracs,
+                          targets=trans.copy(), target_sizes=trsizes.copy(),
+                          trans=trans, trans_sizes=trsizes,
+                          utt_ids=[metas[i][0] for i in group])
+            decoded_lists, _ = self.session.decode_batch(batch)
+            for i, decoded in zip(group, decoded_lists):
+                out[i] = self._diagnose_decoded(metas[i], decoded)
+        return out  # type: ignore[return-value]
 
     def diagnose_word(self, utt_id: str, wav: np.ndarray, word: str,
                       canonical_units: Optional[List[str]] = None

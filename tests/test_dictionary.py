@@ -151,3 +151,40 @@ def test_api_word_phonics(reference_dir):
     assert entry["phonetic"] == "ˈæfrɪkən"
     assert ("a", "æ") in entry["mapping"]
     assert p.api_word_phonics("zzzznotaword") is None
+
+
+def test_espeak_backend_gated(phonetic):
+    """The phonemizer/espeak backend is import-gated: absent in this
+    environment, espeak_ipa/espeak_phones return None and the canonical
+    policy falls through to the IPA-dict conversion without error.  If
+    the package ever appears, the cross-check policy prefers it
+    (phonetic_dict.py:481-498)."""
+    ipa = phonetic.espeak_ipa("cat")
+    phones = phonetic.espeak_phones("cat")
+    try:
+        import phonemizer  # noqa: F401
+
+        has_backend = True
+    except ImportError:
+        has_backend = False
+    if has_backend and phonetic._phonemizer:
+        assert isinstance(ipa, str) and ipa
+        assert phonetic.api_word_phones_cmu("cat") == phones
+    else:
+        assert ipa is None and phones is None
+        # policy falls back to the IPA-dict answer
+        assert phonetic.api_word_phones_cmu("cat")
+
+
+def test_validate_assets_eager_errors(tmp_path):
+    """validate_assets fails fast with setup guidance: unset dir and
+    missing CMUdict files both raise at construction time (the engine
+    calls this), not at the first word lookup."""
+    p = Phonetic(asset_dir=None)
+    p.asset_dir = None            # defeat the reference-mount fallback
+    with pytest.raises(FileNotFoundError, match="MDD_DICT_DIR"):
+        p.validate_assets()
+    with pytest.raises(FileNotFoundError, match="cmudict"):
+        Phonetic(asset_dir=str(tmp_path)).validate_assets()
+    if default_asset_dir() is not None:
+        Phonetic().validate_assets()   # real assets pass
