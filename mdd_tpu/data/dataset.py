@@ -264,6 +264,17 @@ class BucketedLoader:
         n = len(self._order)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the epoch counter (checkpoint resume).
+
+        The per-item augmentation rngs are keyed (seed + epoch, idx) and
+        shuffles by seed + epoch, so a resumed run must continue the
+        original epoch sequence — without this the resumed run replays
+        the earliest epochs' SpecAugment/mutation/shuffle streams
+        (round-3 advisor finding).  Epoch e consumes counter value e-1
+        (a fresh loader starts at 0)."""
+        self._epoch = int(epoch)
+
     def _load_many(self, indices, epoch: int):
         """Load items, each with its own deterministic rng stream — safe
         under thread-pool execution and independent of worker count."""

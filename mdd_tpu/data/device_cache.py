@@ -219,6 +219,13 @@ class CachedLoader:
         return sum(-(-len(rows) // self._global_chunk)
                    for rows in self._buckets.values())
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the epoch counter (checkpoint resume) — same
+        contract as BucketedLoader.set_epoch: the per-item augmentation
+        rng keys and shuffles are epoch-derived, so a resumed run must
+        continue the original sequence."""
+        self._epoch = int(epoch)
+
     def __iter__(self) -> Iterator[CachedBatch]:
         epoch = self._epoch
         self._epoch += 1

@@ -47,6 +47,13 @@ class ThreadedLoader:
     def shape_coordinated(self):
         return getattr(self.loader, "shape_coordinated", False)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Delegate epoch fast-forwarding (checkpoint resume) to the
+        wrapped loader."""
+        inner = getattr(self.loader, "set_epoch", None)
+        if inner is not None:
+            inner(epoch)
+
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         err: List[BaseException] = []

@@ -160,19 +160,47 @@ class NativeArkReader:
             if self.n else 0
         self._buf = (ctypes.c_char * total).from_address(base) \
             if total else b""
+        self._live_views = 0       # outstanding zero-copy views
+        self._close_deferred = False
 
     def view(self, i: int) -> np.ndarray:
-        """Zero-copy (rows, cols) float32 view into the mapped file."""
+        """Zero-copy (rows, cols) float32 view into the mapped file.
+
+        The returned array keeps the mapping alive: close() defers the
+        munmap until every outstanding view has been garbage-collected,
+        so a caller holding a view past close() reads valid memory
+        instead of hitting use-after-free (round-3 advisor finding)."""
+        import weakref
+
+        if not self._h:
+            raise ValueError("reader is closed")
         r, c = int(self.rows[i]), int(self.cols[i])
         off = int(self._data_off[i])
-        out = np.frombuffer(self._buf, np.float32, r * c, off)
-        return out.reshape(r, c)
+        out = np.frombuffer(self._buf, np.float32, r * c, off).reshape(r, c)
+        self._live_views += 1
+        weakref.finalize(out, self._view_dropped)
+        return out
+
+    def _view_dropped(self) -> None:
+        self._live_views -= 1
+        if self._close_deferred and self._live_views == 0:
+            self._close_deferred = False
+            self.close()
 
     def read(self, i: int) -> np.ndarray:
-        return np.array(self.view(i))
+        """Owned copy (no lifetime coupling to the mapping)."""
+        r, c = int(self.rows[i]), int(self.cols[i])
+        off = int(self._data_off[i])
+        return np.frombuffer(self._buf, np.float32, r * c,
+                             off).reshape(r, c).copy()
 
     def close(self) -> None:
         if getattr(self, "_h", None):
+            if getattr(self, "_live_views", 0) > 0:
+                # views still alive: defer the munmap to the last view's
+                # finalizer (idempotent — callers may close() again)
+                self._close_deferred = True
+                return
             self._buf = b""
             self._lib.mdd_ark_close(self._h)
             self._h = None

@@ -546,6 +546,14 @@ class Trainer:
             if os.path.exists(os.path.join(checkpoint_dir, exp_name,
                                            "latest")):
                 epoch = self.restore(checkpoint_dir, exp_name, "latest")
+                # fast-forward the loaders' epoch counters so the
+                # resumed run continues the original augmentation /
+                # shuffle rng sequence instead of replaying epoch 1's
+                # (round-3 advisor finding)
+                for ld in (train_loader, dev_loader):
+                    set_ep = getattr(ld, "set_epoch", None)
+                    if set_ep is not None:
+                        set_ep(epoch)
                 log(f"resumed from epoch {epoch} "
                     f"(lr {sched.learning_rate:.5f})")
         start = time.time()

@@ -123,6 +123,29 @@ class TestNativeArkReader:
                 np.testing.assert_array_equal(np.asarray(r.view(i)),
                                               mats[utt])
 
+    def test_view_survives_close(self, ark):
+        """A zero-copy view held past close() must stay valid: close()
+        defers the munmap until the last view is garbage-collected
+        (round-3 advisor use-after-free finding)."""
+        import gc
+
+        from mdd_tpu import native
+
+        d, mats = ark
+        if not native.ensure_built():
+            pytest.skip("no C++ toolchain")
+        r = native.NativeArkReader(str(d / "f.ark"))
+        v = r.view(0)
+        expect = np.array(v)            # copy before close
+        r.close()
+        assert r._h is not None         # munmap deferred
+        np.testing.assert_array_equal(v, expect)   # still readable
+        del v
+        gc.collect()
+        assert r._h is None             # last view dropped -> closed
+        with pytest.raises(ValueError):
+            r.view(0)
+
     def test_bulk_load_matches_per_item(self, ark):
         from mdd_tpu.frontend import kaldi_io
 

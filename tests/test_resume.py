@@ -77,3 +77,61 @@ def test_fit_resume_continues(tmp_path):
            checkpoint_dir=str(tmp_path), exp_name="exp",
            log=logs.append, resume=True)
     assert any("resumed from epoch" in str(l) for l in logs)
+
+
+def test_resume_fast_forwards_loader_epochs(tmp_path):
+    """A resumed run must continue the original augmentation/shuffle rng
+    sequence: after fit(resume=True) restores epoch k, the loaders'
+    epoch counters sit at k (epoch k+1 consumes counter k), not 0
+    (round-3 advisor finding — replaying epoch-1 SpecAugment/mutation
+    streams made resumed runs non-equivalent to uninterrupted ones)."""
+
+    class CountingLoader:
+        """Minimal loader recording which epoch counters were consumed."""
+
+        batch_size = 2
+
+        def __init__(self, batch):
+            self.batch = batch
+            self._epoch = 0
+            self.consumed = []
+
+        def set_epoch(self, epoch):
+            self._epoch = int(epoch)
+
+        def __iter__(self):
+            self.consumed.append(self._epoch)
+            self._epoch += 1
+            yield self.batch
+
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(2)
+    batch = _batch(rng, cfg)
+
+    t1 = Trainer(cfg, n_devices=1, sample_t=16, sample_l=3)
+    tl1, dl1 = CountingLoader(batch), CountingLoader(batch)
+    t1.fit(tl1, dl1, num_epochs=3, checkpoint_dir=str(tmp_path),
+           exp_name="exp", log=lambda *_: None)
+    assert tl1.consumed[:3] == [0, 1, 2]
+
+    t2 = Trainer(cfg, n_devices=1, sample_t=16, sample_l=3)
+    tl2, dl2 = CountingLoader(batch), CountingLoader(batch)
+    t2.fit(tl2, dl2, num_epochs=5, checkpoint_dir=str(tmp_path),
+           exp_name="exp", log=lambda *_: None, resume=True)
+    # resumed from epoch 3 -> epochs 4, 5 consume counters 3, 4
+    assert tl2.consumed[:2] == [3, 4]
+    assert dl2.consumed[:2] == [3, 4]
+
+
+def test_threaded_loader_delegates_set_epoch():
+    from mdd_tpu.data.prefetch import ThreadedLoader
+
+    class Inner:
+        _epoch = 0
+
+        def set_epoch(self, e):
+            self._epoch = e
+
+    inner = Inner()
+    ThreadedLoader(inner).set_epoch(7)
+    assert inner._epoch == 7
