@@ -9,6 +9,7 @@ CLI:
   python -m mdd_tpu merge            --dirs A B --out DIR
   python -m mdd_tpu units            --phn-text F --out UNITS
   python -m mdd_tpu feat             --wav-scp F --out-dir DIR [--cmvn F]
+                                   [--feat-type {fbank,mfcc,spectrogram}]
   python -m mdd_tpu train-lm         --phn-text F --out ARPA
   python -m mdd_tpu train            --conf YAML
   python -m mdd_tpu evaluate         --conf YAML [--dump-dir DIR]
