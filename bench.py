@@ -195,27 +195,41 @@ def bench_decode(cfg, extra: dict) -> None:
         REFERENCE_DECODE_MIN_900 / (900 / utts_per_s / 60), 1)
 
 
+def _flagship_phones():
+    """The reference's 41 committed units when mounted (so benchmark
+    models run the flagship 43-class head), else the synthetic set."""
+    import pathlib
+
+    from tools.synthetic_corpus import PHONES
+
+    units = pathlib.Path("/root/reference/egs/attention_aug/data/units")
+    if units.exists():
+        phones = [ln.strip() for ln in units.read_text().splitlines()
+                  if ln.strip()]
+        if "sil" in phones:
+            return phones
+    return PHONES
+
+
 def bench_epoch(cfg, extra: dict) -> None:
     """End-to-end epoch throughput INCLUDING the input pipeline.
 
     Synthesizes a corpus with the real TIMIT/L2-ARCTIC length statistics
-    (~3 s utterances), then measures two production input paths:
+    (~3 s utterances) over the reference's 41-unit inventory (the model
+    is the same 43-class flagship as the headline step metric), then
+    measures two production input paths:
 
       * device-resident feature cache (the steady-state path): the corpus
-        is uploaded to HBM once; per-epoch batches are on-device gathers
-        from index vectors, SpecAugment applied as device masking from
-        host-sampled geometry (bit-equivalent to the host pipeline,
-        tests/test_device_cache.py).  Epochs >= 2 move no feature bytes
-        over the host->device link — this is the headline epoch number.
+        is uploaded once, row-sharded over the mesh; per-epoch batches
+        are on-device gathers from index vectors, SpecAugment applied as
+        device masking from host-sampled geometry (bit-equivalent to the
+        host pipeline, tests/test_device_cache.py).  Epochs >= 2 move no
+        feature bytes over the host->device link — this is the headline
+        epoch number.
       * host streaming pipeline (first-epoch/ingest path): kaldiio ark
         reads, host SpecAugment + mutation, bucketed batching, threaded
         prefetch, raw-bf16 wire, splice/skip on device.  On a
-        remote-attached TPU the ~43 MB/s link bounds this number.
-
-    NOTE this benchmark uses a num_class=25 model (the synthetic-corpus
-    vocabulary) vs the 43-class flagship of the headline step metric; the
-    epoch numbers are input-path comparisons, not model benchmarks
-    (`epoch_model_num_class` records it)."""
+        remote-attached TPU the ~43 MB/s link bounds this number."""
     import tempfile
     from pathlib import Path
 
@@ -226,15 +240,19 @@ def bench_epoch(cfg, extra: dict) -> None:
     from mdd_tpu.frontend import kaldi_io
     from mdd_tpu.train.loop import Trainer
 
-    from tools.synthetic_corpus import PHONES, make_split
+    from tools.synthetic_corpus import make_split
 
+    phones = _flagship_phones()
+    assert len(phones) + 2 == cfg.num_class, (
+        "epoch bench inventory must match the flagship head")
     n_epochs = 3
     with tempfile.TemporaryDirectory() as d:
         out = Path(d)
         # reference training-set scale: 5,496 utterances
         # (result/train.log:54) with the real ~3 s length statistics
-        make_split(out, "train", 5496, seed=0, min_phones=16, max_phones=40)
-        vocab = Vocab(PHONES)
+        make_split(out, "train", 5496, seed=0, min_phones=16, max_phones=40,
+                   phones=phones)
+        vocab = Vocab(phones)
         ds = SpeechDataset(vocab, str(out / "train.scp"),
                            str(out / "train_phn_text"),
                            str(out / "train_transcript_phn_text"),
@@ -261,6 +279,10 @@ def bench_epoch(cfg, extra: dict) -> None:
         extra["epoch_audio_s_per_s_cached"] = round(rate, 1)
         extra["epoch_s_cached"] = round(elapsed / n_epochs, 3)
         extra["cache_mb"] = round(cache.bytes / 2**20, 1)
+        # row-sharded over the mesh: per-device HBM (= upload per device)
+        # is corpus/N, not a full replica
+        extra["cache_mb_per_device"] = round(
+            cache.bytes_per_device / 2**20, 1)
 
         # --- ingest path: host streaming pipeline ---
         loader = ThreadedLoader(
@@ -279,6 +301,67 @@ def bench_epoch(cfg, extra: dict) -> None:
         extra["epoch_s"] = round(elapsed / n_epochs, 3)
 
 
+def bench_eval(cfg, extra: dict) -> None:
+    """End-to-end `evaluate` at reference scale: loader + DP forward +
+    jit beam (K=10, committed LM) + 3-way alignment + MDD accounting for
+    900 utterances (the reference decodes the same 900-utt test set in
+    3.25 min, result/train.log:3703-3705, scoring extra).  One warm pass
+    compiles every bucket shape; the timed pass is the steady-state
+    number."""
+    import tempfile
+    from pathlib import Path
+
+    import jax
+
+    from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
+    from mdd_tpu.data.vocab import Vocab
+    from mdd_tpu.evals.evaluate import EvalSession, evaluate_model
+    from mdd_tpu.models.ctc_model import CTCAttentionModel
+
+    from tools.synthetic_corpus import make_split
+
+    phones = _flagship_phones()
+    lm_path = "/root/reference/egs/attention_aug/data/lm_phone_bg.arpa"
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        out = Path(d)
+        # reference test-set scale: 900 utts (result/train.log:55)
+        make_split(out, "test", 900, seed=2, min_phones=16, max_phones=40,
+                   phones=phones)
+        vocab = Vocab(phones)
+        model = CTCAttentionModel(cfg)
+        import jax.numpy as jnp
+
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            jnp.zeros((1, 64, cfg.input_dim)), jnp.zeros((1, 16), jnp.int32),
+            jnp.asarray([16]), train=False)
+        session = EvalSession(
+            cfg, {"params": variables["params"],
+                  "batch_stats": variables["batch_stats"]},
+            vocab, decode_type="beam", beam_width=BEAM_WIDTH,
+            lm_path=lm_path if os.path.exists(lm_path) else None,
+            lm_alpha=0.5)
+
+        def run():
+            ds = SpeechDataset(vocab, str(out / "test.scp"),
+                               str(out / "test_phn_text"),
+                               str(out / "test_transcript_phn_text"))
+            loader = BucketedLoader(ds, batch_size=512, shuffle=False)
+            return evaluate_model(session, loader, log=lambda *_: None)
+
+        run()                      # compile every bucket shape
+        t0 = time.perf_counter()
+        rep = run()
+        elapsed = time.perf_counter() - t0
+        assert rep.n_utts == 900
+        extra["eval_utts_per_s"] = round(rep.n_utts / elapsed, 1)
+        extra["eval_min_per_900_utts"] = round(elapsed / 60, 4)
+        extra["eval_vs_reference_decode"] = round(
+            REFERENCE_DECODE_MIN_900 / (elapsed / 60), 1)
+
+
 def main() -> None:
     from mdd_tpu.models.ctc_model import ModelConfig
 
@@ -289,10 +372,8 @@ def main() -> None:
     extra: dict = {}
     value = bench_train(cfg, extra)
     bench_decode(cfg, extra)
-    # 25 classes = the synthetic corpus vocabulary (23 phones + blank/UNK)
-    bench_epoch(ModelConfig(num_class=25, compute_dtype="bfloat16",
-                            use_pallas_lstm=jax.default_backend() == "tpu"),
-                extra)
+    bench_eval(cfg, extra)
+    bench_epoch(cfg, extra)
     print(json.dumps({
         "metric": "train_throughput_audio_seconds_per_s_per_chip",
         "value": round(value, 2),

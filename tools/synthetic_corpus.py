@@ -40,11 +40,11 @@ def phone_signature(idx: int, rng: np.random.Generator) -> np.ndarray:
     return base
 
 
-def synth_utterance(phones, rng):
+def synth_utterance(phones, rng, inventory=PHONES):
     sigs = []
     for p in phones:
         dur = int(rng.integers(MIN_DUR, MAX_DUR))
-        sig = phone_signature(PHONES.index(p), rng)
+        sig = phone_signature(inventory.index(p), rng)
         frames = sig[None, :] + 0.35 * rng.standard_normal(
             (dur, FEAT_DIM)).astype(np.float32)
         sigs.append(frames)
@@ -53,14 +53,18 @@ def synth_utterance(phones, rng):
 
 def make_split(out: Path, name: str, n: int, seed: int,
                error_rate: float = 0.15,
-               min_phones: int = 4, max_phones: int = 12) -> None:
+               min_phones: int = 4, max_phones: int = 12,
+               phones=None) -> None:
     """min/max_phones control utterance length: the default 4-12 phones
     (~0.6-1.5 s) keeps CPU tests fast; pass ~16-40 (~2-4.5 s) to match
-    the real TIMIT/L2-ARCTIC length distribution for benchmarking."""
+    the real TIMIT/L2-ARCTIC length distribution for benchmarking.
+    `phones` overrides the inventory (e.g. the reference's 41 units so
+    benchmarks run the flagship 43-class head); must include 'sil'."""
     from mdd_tpu.frontend import kaldi_io
 
+    inventory = list(phones) if phones is not None else PHONES
     rng = np.random.default_rng(seed)
-    content = [p for p in PHONES if p != "sil"]
+    content = [p for p in inventory if p != "sil"]
     out.mkdir(parents=True, exist_ok=True)
     ark = str(out / f"{name}.ark")
     scp = str(out / f"{name}.scp")
@@ -78,7 +82,7 @@ def make_split(out: Path, name: str, n: int, seed: int,
             for j in range(1, len(actual) - 1):
                 if rng.random() < error_rate:
                     actual[j] = content[rng.integers(len(content))]
-            feats = synth_utterance(actual, rng)
+            feats = synth_utterance(actual, rng, inventory)
             w.write(utt, feats)
             lab.write(f"{utt} {' '.join(actual)}\n")
             trn.write(f"{utt} {' '.join(canonical)}\n")
