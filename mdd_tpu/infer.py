@@ -286,7 +286,15 @@ class InferenceEngine:
         out: List[Optional[WordDiagnosis]] = [None] * len(items)
         for t_max in sorted(buckets):
             group = buckets[t_max]
-            b = len(group)
+            # pad the group's batch axis to a power of two (repeating the
+            # last item; extra rows' outputs are discarded): group sizes
+            # vary with burst composition, and every distinct (b, T)
+            # would otherwise be a fresh jit compile — ~30 s each on a
+            # tunnel-attached chip.  Pow2 padding bounds the shape set to
+            # log2(max_batch) sizes per length bucket.
+            b = 1 << (len(group) - 1).bit_length() if group else 1
+            n_real = len(group)
+            group = group + [group[-1]] * (b - n_real)
             # label axis quantized too (same quantum as _model_batch): a
             # long-lived server would otherwise recompile the forward
             # for every new max canonical length
@@ -315,7 +323,7 @@ class InferenceEngine:
                           trans=trans, trans_sizes=trsizes,
                           utt_ids=[metas[i][0] for i in group])
             decoded_lists, _ = self.session.decode_batch(batch)
-            for i, decoded in zip(group, decoded_lists):
+            for i, decoded in zip(group[:n_real], decoded_lists):
                 out[i] = self._diagnose_decoded(metas[i], decoded)
         return out  # type: ignore[return-value]
 
