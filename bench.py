@@ -342,13 +342,18 @@ def bench_eval(cfg, extra: dict) -> None:
                   "batch_stats": variables["batch_stats"]},
             vocab, decode_type="beam", beam_width=BEAM_WIDTH,
             lm_path=lm_path if os.path.exists(lm_path) else None,
-            lm_alpha=0.5)
+            lm_alpha=0.5, device_frontend=True)
 
         def run():
+            # device-frontend wire (raw bf16, splice/skip in the jit
+            # forward): whole-corpus eval is otherwise bound by the
+            # spliced-float32 host->device transfer on this link
             ds = SpeechDataset(vocab, str(out / "test.scp"),
                                str(out / "test_phn_text"),
-                               str(out / "test_transcript_phn_text"))
-            loader = BucketedLoader(ds, batch_size=512, shuffle=False)
+                               str(out / "test_transcript_phn_text"),
+                               device_frontend=True)
+            loader = BucketedLoader(ds, batch_size=512, shuffle=False,
+                                    wire_dtype="bfloat16")
             return evaluate_model(session, loader, log=lambda *_: None)
 
         run()                      # compile every bucket shape

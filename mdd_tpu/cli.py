@@ -70,7 +70,8 @@ def _distributed_initialize() -> None:
 
 
 def _build_loader(cfg, vocab, scp, lab, trans, train: bool,
-                  device_fe: bool = False, mesh=None):
+                  device_fe: bool = False, mesh=None,
+                  allow_cache: bool = True):
     import jax
 
     from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
@@ -83,7 +84,7 @@ def _build_loader(cfg, vocab, scp, lab, trans, train: bool,
         train=train, augment_mode=cfg.augment_mode,
         mutation_prob=cfg.mutation_prob,
         device_frontend=device_fe)
-    if device_fe and getattr(cfg, "device_cache", False):
+    if device_fe and allow_cache and getattr(cfg, "device_cache", False):
         # steady-state input path: corpus pinned in HBM, per-epoch batches
         # are on-device gathers (data.device_cache) — no feature bytes on
         # the wire after the one-time upload
@@ -258,7 +259,8 @@ def cmd_train(args) -> int:
     return 0
 
 
-def _load_eval_session(cfg, checkpoint: Optional[str] = None):
+def _load_eval_session(cfg, checkpoint: Optional[str] = None,
+                       device_frontend: bool = False):
     import os
 
     from mdd_tpu.data.vocab import Vocab
@@ -275,7 +277,11 @@ def _load_eval_session(cfg, checkpoint: Optional[str] = None):
                           decode_type=cfg.decode_type,
                           beam_width=cfg.beam_width,
                           lm_path=cfg.lm_path or None,
-                          lm_alpha=cfg.lm_alpha)
+                          lm_alpha=cfg.lm_alpha,
+                          device_frontend=device_frontend,
+                          left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
+                          n_skip_frame=cfg.n_skip_frame,
+                          n_downsample=cfg.n_downsample)
     return session, vocab, model_cfg
 
 
@@ -290,10 +296,18 @@ def cmd_evaluate(args) -> int:
         print(f"distributed: process {jax.process_index()}/"
               f"{jax.process_count()}")
     cfg = load_config(args.conf)
-    session, vocab, _ = _load_eval_session(cfg, args.checkpoint)
+    # device-frontend eval: raw bf16 features on the wire, splice/skip
+    # inside the jit forward — same fast path as training; the dominant
+    # whole-corpus eval cost on a remote-attached chip is otherwise the
+    # spliced-float32 host->device transfer
+    device_fe = bool(getattr(cfg, "device_frontend", False))
+    session, vocab, _ = _load_eval_session(cfg, args.checkpoint,
+                                           device_frontend=device_fe)
     loader = _build_loader(cfg, vocab, cfg.test_scp_path,
                            cfg.test_lab_path, cfg.test_trans_path,
-                           train=False)
+                           train=False, device_fe=device_fe,
+                           allow_cache=False)  # evaluate_model consumes
+    # feature batches (the cache's index batches feed Trainer steps only)
     evaluate_model(session, loader, dump_dir=args.dump_dir)
     return 0
 

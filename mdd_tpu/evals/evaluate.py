@@ -204,6 +204,11 @@ class EvalSession:
         lm_alpha: float = 0.0,
         host_beam: bool = False,
         mesh=None,
+        device_frontend: bool = False,
+        left_ctx: int = 0,
+        right_ctx: int = 2,
+        n_skip_frame: int = 2,
+        n_downsample: int = 2,
     ):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -211,6 +216,14 @@ class EvalSession:
                                            replicated)
 
         self.cfg = model_cfg
+        # device_frontend: batches arrive as RAW (B, T_raw, D) features
+        # (bf16 on the wire); context splice + frame skip run on device
+        # inside the jit forward — ~6x fewer host->device bytes than
+        # spliced float32, the dominant cost of whole-corpus eval on a
+        # remote-attached chip.  Same contract as the Trainer's.
+        self.device_frontend = device_frontend
+        self.left_ctx, self.right_ctx = left_ctx, right_ctx
+        self.n_skip_frame, self.n_downsample = n_skip_frame, n_downsample
         self.model = CTCAttentionModel(model_cfg)
         # per-host mesh: in multi-process runs each host decodes its own
         # loader shard (all_reduce_report sums the tallies); a global
@@ -246,6 +259,19 @@ class EvalSession:
                     lm_alpha=lm_alpha)
 
     def _forward(self, variables, inputs, fracs, trans, trsizes):
+        if self.device_frontend:
+            from mdd_tpu.frontend.splice import batched_splice_skip
+            from mdd_tpu.train.loop import exact_output_sizes
+
+            raw_len = jnp.round(fracs * inputs.shape[1]).astype(jnp.int32)
+            inputs, model_frames = batched_splice_skip(
+                inputs, raw_len, self.left_ctx, self.right_ctx,
+                self.n_skip_frame, self.n_downsample)
+            log_probs = self.model.apply(
+                variables, inputs, trans, trsizes, train=False)
+            frames = exact_output_sizes(model_frames, log_probs.shape[0],
+                                        inputs.shape[1])
+            return log_probs, frames
         log_probs = self.model.apply(
             variables, inputs, trans, trsizes, train=False)
         out_len = log_probs.shape[0]

@@ -117,3 +117,49 @@ def test_eval_session_beam_matches_greedy_on_peaky_probs():
     beam = BeamSearchDecoder(vocab.index2word, beam_width=4).decode(
         probs[None], [t])[0]
     assert greedy == beam
+
+
+def test_eval_session_device_frontend_matches_host(tmp_path):
+    """Device-frontend evaluation (raw features on the wire, splice +
+    frame-skip inside the jit forward) must reproduce the host-spliced
+    session's decodes and metrics exactly on a float32 wire — the fast
+    whole-corpus eval path (cmd_evaluate with device_frontend: true)."""
+    import jax
+
+    from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
+    from mdd_tpu.data.vocab import Vocab
+    from mdd_tpu.frontend import kaldi_io
+    from mdd_tpu.models.ctc_model import CTCAttentionModel, ModelConfig
+
+    rng = np.random.default_rng(3)
+    phones = ["sil", "aa", "b", "k", "iy", "t"]
+    with kaldi_io.ArkScpWriter(str(tmp_path / "f.ark"),
+                               str(tmp_path / "f.scp")) as w, \
+            open(tmp_path / "lab", "w") as lab:
+        for i in range(6):
+            t = int(rng.integers(40, 200))
+            w.write(f"u{i}", rng.standard_normal((t, 81)).astype(np.float32))
+            lab.write(f"u{i} " + " ".join(rng.choice(phones[1:], 5)) + "\n")
+    vocab = Vocab(phones)
+    cfg = ModelConfig(input_dim=243, num_class=vocab.n_words,
+                      rnn_hidden_size=16, rnn_layers=1, text_embed_size=8)
+    model = CTCAttentionModel(cfg)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, 16, 243), np.float32),
+                           np.zeros((1, 4), np.int32),
+                           np.asarray([4], np.int32))
+
+    reports = {}
+    for device_fe in (False, True):
+        ds = SpeechDataset(vocab, str(tmp_path / "f.scp"),
+                           str(tmp_path / "lab"), str(tmp_path / "lab"),
+                           device_frontend=device_fe)
+        loader = BucketedLoader(ds, batch_size=3, shuffle=False,
+                                time_quantum=16)
+        session = EvalSession(cfg, variables, vocab, decode_type="greedy",
+                              device_frontend=device_fe)
+        reports[device_fe] = evaluate_model(session, loader,
+                                            log=lambda *_: None)
+    a, b = reports[False], reports[True]
+    assert (a.errors, a.tokens, a.n_utts) == (b.errors, b.tokens, b.n_utts)
+    assert a.counts == b.counts
