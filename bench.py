@@ -372,7 +372,10 @@ def main() -> None:
 
     import jax
 
-    cfg = ModelConfig(compute_dtype="bfloat16",
+    # head sized to the benchmark inventory: the reference's 41 units + 2
+    # (= the flagship 43) when the mount is present, else the synthetic set
+    cfg = ModelConfig(num_class=len(_flagship_phones()) + 2,
+                      compute_dtype="bfloat16",
                       use_pallas_lstm=jax.default_backend() == "tpu")
     extra: dict = {}
     value = bench_train(cfg, extra)

@@ -367,6 +367,11 @@ def cmd_serve(args) -> int:
     from mdd_tpu.serve import serve_loop
 
     engine = _build_engine(args)
+    if args.warmup:
+        # precompile the serving shape set so no client request pays a
+        # jit compile (moves the ~minutes of tunnel compiles to startup)
+        n_shapes = engine.warmup(max_seconds=args.warmup)
+        print(f"warmed {n_shapes} shapes", file=sys.stderr, flush=True)
     print("ready", file=sys.stderr, flush=True)
     n = serve_loop(engine, sys.stdin, sys.stdout,
                    log=(None if args.quiet else
@@ -506,6 +511,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="cmu")
     q.add_argument("--quiet", action="store_true",
                    help="no per-request log lines on stderr")
+    q.add_argument("--warmup", type=float, nargs="?", const=3.2,
+                   default=0.0, metavar="SECONDS",
+                   help="precompile the serving shape set for wavs up "
+                        "to SECONDS (default 3.2) before accepting "
+                        "requests — no client pays a jit compile")
     q.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("mdd-result",

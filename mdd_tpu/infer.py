@@ -327,6 +327,29 @@ class InferenceEngine:
                 out[i] = self._diagnose_decoded(metas[i], decoded)
         return out  # type: ignore[return-value]
 
+    def warmup(self, max_seconds: float = 3.2,
+               batch_sizes: Sequence[int] = (1, 4, 16)) -> int:
+        """Precompile the serving shape set so no client request pays a
+        jit compile (~30 s each on a tunnel-attached chip; a cold burst
+        of 16 measured ~3 min of compiles).  Runs silent wavs through
+        diagnose_words at every length bucket up to `max_seconds` and
+        each pow2 batch size; returns the number of (batch, length)
+        shapes warmed.  Word metadata is bypassed with an explicit
+        canonical override, so no dictionary lookups happen."""
+        canon = [self.vocab.index2word[2]]  # any real unit
+        n = 0
+        for b in batch_sizes:
+            # one wav length per 32-model-frame bucket: 32 model frames
+            # = 64 raw frames = 0.64 s of 16 kHz audio
+            secs = 0.64
+            while secs <= max_seconds + 1e-9:
+                wav = np.zeros(int(secs * 16000), np.float32)
+                items = [(f"_warm{i}", wav, "a", canon) for i in range(b)]
+                self.diagnose_words(items)
+                n += 1
+                secs += 0.64
+        return n
+
     def diagnose_word(self, utt_id: str, wav: np.ndarray, word: str,
                       canonical_units: Optional[List[str]] = None
                       ) -> WordDiagnosis:

@@ -225,3 +225,11 @@ def test_diagnose_words_stable_under_cobatching(engine, reference_dir):
         assert dataclasses.asdict(permuted[k]) == dataclasses.asdict(mixed[j])
     for k in range(len(items)):
         assert dataclasses.asdict(solo[k]) == dataclasses.asdict(mixed[k])
+
+
+def test_warmup_precompiles_shapes(engine):
+    """warmup() drives silent wavs through every (batch, length-bucket)
+    serving shape with a canonical override (no dictionary lookups) so
+    a server can pay all jit compiles at startup (serve --warmup)."""
+    n = engine.warmup(max_seconds=1.28, batch_sizes=(1, 2))
+    assert n == 4        # 2 batch sizes x 2 length buckets
