@@ -42,16 +42,19 @@ def edit_distance(src: Sequence, tgt: Sequence) -> Tuple[int, np.ndarray]:
         tok2int = {t: i for i, t in enumerate(dict.fromkeys(list(src) + list(tgt)))}
         src_ids = [tok2int[s] for s in src]
         tgt_arr = np.asarray([tok2int[t] for t in tgt], dtype=np.int64)
+        idx = np.arange(L2 + 1, dtype=np.int32)
         for i in range(1, L1 + 1):
             cost = (src_ids[i - 1] != tgt_arr).astype(np.int32)
             row = dp[i]
             prev = dp[i - 1]
             row[1:] = prev[:-1] + cost
             np.minimum(row[1:], prev[1:] + 1, out=row[1:])
-            # left-to-right prefix pass for insertions into tgt dimension
-            for j in range(1, L2 + 1):
-                if row[j - 1] + 1 < row[j]:
-                    row[j] = row[j - 1] + 1
+            # left-to-right prefix pass for insertions into the tgt
+            # dimension: row[j] = min_{k<=j}(row[k] + (j - k)), i.e. a
+            # running minimum of (row - idx) shifted back by idx — exact
+            # integer equivalence with the sequential relaxation
+            np.minimum(row, np.minimum.accumulate(row - idx) + idx,
+                       out=row)
     return int(dp[L1, L2]), dp
 
 
@@ -151,6 +154,7 @@ def kaldi_alignment(
     dp = np.zeros((L1 + 1, L2 + 1), dtype=np.int32)
     dp[0, :] = np.arange(L2 + 1)
     dp[:, 0] = np.arange(L1 + 1)
+    idx = np.arange(L2 + 1, dtype=np.int32)
     for i in range(1, L1 + 1):
         cost = np.fromiter(
             (0 if ref[i - 1] == h else 1 for h in hyp), dtype=np.int32, count=L2
@@ -159,9 +163,8 @@ def kaldi_alignment(
         prev = dp[i - 1]
         row[1:] = prev[:-1] + cost
         np.minimum(row[1:], prev[1:] + 1, out=row[1:])
-        for j in range(1, L2 + 1):
-            if row[j - 1] + 1 < row[j]:
-                row[j] = row[j - 1] + 1
+        # exact prefix-min relaxation (see edit_distance)
+        np.minimum(row, np.minimum.accumulate(row - idx) + idx, out=row)
 
     out: List[Tuple[Hashable, Hashable]] = []
     i, j = L1, L2
