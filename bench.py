@@ -377,7 +377,10 @@ def main() -> None:
     cfg = ModelConfig(num_class=len(_flagship_phones()) + 2,
                       compute_dtype="bfloat16",
                       use_pallas_lstm=jax.default_backend() == "tpu")
-    extra: dict = {}
+    # record the head size: without the reference mount the inventory
+    # falls back to the synthetic set (25 classes) and the numbers are
+    # not directly comparable to flagship-43 runs
+    extra: dict = {"model_num_class": cfg.num_class}
     value = bench_train(cfg, extra)
     bench_decode(cfg, extra)
     bench_eval(cfg, extra)

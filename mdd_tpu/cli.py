@@ -163,6 +163,13 @@ def cmd_feat(args) -> int:
     if feat_type == "spectrogram":
         # legacy path parity (local/make_spectrum.py): plain ark/scp of
         # log-spectrograms, no CMVN stage.
+        if args.cmvn:
+            raise SystemExit(
+                "--cmvn is not supported with --feat-type spectrogram: "
+                "the legacy spectrogram path (local/make_spectrum.py) "
+                "has no CMVN stage — the stats would be silently "
+                "ignored.  Use fbank or mfcc for CMVN-normalized "
+                "features.")
         from pathlib import Path
 
         from mdd_tpu.frontend.spectrogram import make_spectrum

@@ -204,6 +204,18 @@ def compute_fbank(
     return mel_energies
 
 
+def frame_counts(lengths: jnp.ndarray, cfg) -> jnp.ndarray:
+    """(B,) valid sample counts -> (B,) frame counts (traceable
+    num_frames).  `cfg` is any config exposing snip_edges and the
+    Kaldi frame geometry (FbankConfig or mfcc.MfccConfig's fbank view)."""
+    frame_length = int(cfg.sample_rate * cfg.frame_length_ms / 1000.0)
+    frame_shift = int(cfg.sample_rate * cfg.frame_shift_ms / 1000.0)
+    if cfg.snip_edges:
+        return jnp.where(lengths < frame_length, 0,
+                         1 + (lengths - frame_length) // frame_shift)
+    return (lengths + frame_shift // 2) // frame_shift
+
+
 def compute_fbank_batch(
     waveforms: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -218,10 +230,4 @@ def compute_fbank_batch(
     Returns (features (B, T_max, D), frame_counts (B,)).
     """
     feats = jax.vmap(lambda w: compute_fbank(w, cfg, key))(waveforms)
-    if cfg.snip_edges:
-        counts = jnp.where(
-            lengths < cfg.frame_length, 0,
-            1 + (lengths - cfg.frame_length) // cfg.frame_shift)
-    else:
-        counts = (lengths + cfg.frame_shift // 2) // cfg.frame_shift
-    return feats, counts
+    return feats, frame_counts(lengths, cfg)

@@ -125,15 +125,10 @@ def compute_mfcc_batch(
     key: jax.Array | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched MFCC over zero-padded waveforms -> (feats, frame_counts)."""
+    from mdd_tpu.frontend.fbank import frame_counts
+
     feats = jax.vmap(lambda w: compute_mfcc(w, cfg, key))(waveforms)
-    fcfg = cfg.fbank_config()
-    if cfg.snip_edges:
-        counts = jnp.where(
-            lengths < fcfg.frame_length, 0,
-            1 + (lengths - fcfg.frame_length) // fcfg.frame_shift)
-    else:
-        counts = (lengths + fcfg.frame_shift // 2) // fcfg.frame_shift
-    return feats, counts
+    return feats, frame_counts(lengths, cfg)
 
 
 __all__ = ["MfccConfig", "compute_mfcc", "compute_mfcc_batch", "num_frames"]

@@ -201,6 +201,10 @@ class InferenceEngine:
     # batched results reproduce diagnose_word bitwise; bounded shape set
     # for the long-lived server)
     LABEL_QUANTUM = 8
+    # serving batch-size ladder: diagnose_words pads each length-bucket
+    # group up to the next size here (beyond the last, next pow2).  Kept
+    # small and fixed so warmup() can precompile the exact shape set.
+    BATCH_SIZES = (1, 4, 16)
 
     def _model_batch(self, utt: str, feats: np.ndarray,
                      canonical_units: List[str]) -> Batch:
@@ -286,14 +290,16 @@ class InferenceEngine:
         out: List[Optional[WordDiagnosis]] = [None] * len(items)
         for t_max in sorted(buckets):
             group = buckets[t_max]
-            # pad the group's batch axis to a power of two (repeating the
-            # last item; extra rows' outputs are discarded): group sizes
-            # vary with burst composition, and every distinct (b, T)
-            # would otherwise be a fresh jit compile — ~30 s each on a
-            # tunnel-attached chip.  Pow2 padding bounds the shape set to
-            # log2(max_batch) sizes per length bucket.
-            b = 1 << (len(group) - 1).bit_length() if group else 1
+            # pad the group's batch axis up to the next size in
+            # BATCH_SIZES (repeating the last item; extra rows' outputs
+            # are discarded): group sizes vary with burst composition,
+            # and every distinct (b, T) would otherwise be a fresh jit
+            # compile — ~30 s each on a tunnel-attached chip.  The small
+            # fixed ladder (rather than every power of two) keeps the
+            # shape set exactly coverable by warmup().
             n_real = len(group)
+            b = next((s for s in self.BATCH_SIZES if s >= n_real),
+                     1 << (n_real - 1).bit_length())
             group = group + [group[-1]] * (b - n_real)
             # label axis quantized too (same quantum as _model_batch): a
             # long-lived server would otherwise recompile the forward
@@ -328,26 +334,36 @@ class InferenceEngine:
         return out  # type: ignore[return-value]
 
     def warmup(self, max_seconds: float = 3.2,
-               batch_sizes: Sequence[int] = (1, 4, 16)) -> int:
+               batch_sizes: Optional[Sequence[int]] = None,
+               max_canonical_phones: int = 16) -> int:
         """Precompile the serving shape set so no client request pays a
         jit compile (~30 s each on a tunnel-attached chip; a cold burst
-        of 16 measured ~3 min of compiles).  Runs silent wavs through
-        diagnose_words at every length bucket up to `max_seconds` and
-        each pow2 batch size; returns the number of (batch, length)
-        shapes warmed.  Word metadata is bypassed with an explicit
-        canonical override, so no dictionary lookups happen."""
-        canon = [self.vocab.index2word[2]]  # any real unit
+        of 16 measured ~3 min of compiles).  Covers the full product
+        diagnose_words can request: every length bucket up to
+        `max_seconds`, every BATCH_SIZES rung (the exact ladder groups
+        pad to), and every LABEL_QUANTUM width up to
+        `max_canonical_phones` (few English words exceed 16 phones; a
+        longer word still works, paying one compile).  Returns the
+        number of shapes warmed.  Word metadata is bypassed with
+        explicit canonical overrides, so no dictionary lookups happen."""
+        if batch_sizes is None:
+            batch_sizes = self.BATCH_SIZES
+        unit = self.vocab.index2word[2]  # any real unit
+        label_lens = range(1, max_canonical_phones + 1, self.LABEL_QUANTUM)
         n = 0
         for b in batch_sizes:
-            # one wav length per 32-model-frame bucket: 32 model frames
-            # = 64 raw frames = 0.64 s of 16 kHz audio
-            secs = 0.64
-            while secs <= max_seconds + 1e-9:
-                wav = np.zeros(int(secs * 16000), np.float32)
-                items = [(f"_warm{i}", wav, "a", canon) for i in range(b)]
-                self.diagnose_words(items)
-                n += 1
-                secs += 0.64
+            for llen in label_lens:
+                canon = [unit] * llen
+                # one wav length per 32-model-frame bucket: 32 model
+                # frames = 64 raw frames = 0.64 s of 16 kHz audio
+                secs = 0.64
+                while secs <= max_seconds + 1e-9:
+                    wav = np.zeros(int(secs * 16000), np.float32)
+                    items = [(f"_warm{i}", wav, "a", canon)
+                             for i in range(b)]
+                    self.diagnose_words(items)
+                    n += 1
+                    secs += 0.64
         return n
 
     def diagnose_word(self, utt_id: str, wav: np.ndarray, word: str,

@@ -160,8 +160,13 @@ class NativeArkReader:
             if self.n else 0
         self._buf = (ctypes.c_char * total).from_address(base) \
             if total else b""
+        import threading
+
         self._live_views = 0       # outstanding zero-copy views
         self._close_deferred = False
+        # finalizers run on whatever thread triggers GC, so the counter
+        # updates must be atomic w.r.t. view()/close()
+        self._view_lock = threading.Lock()
 
     def view(self, i: int) -> np.ndarray:
         """Zero-copy (rows, cols) float32 view into the mapped file.
@@ -177,14 +182,18 @@ class NativeArkReader:
         r, c = int(self.rows[i]), int(self.cols[i])
         off = int(self._data_off[i])
         out = np.frombuffer(self._buf, np.float32, r * c, off).reshape(r, c)
-        self._live_views += 1
+        with self._view_lock:
+            self._live_views += 1
         weakref.finalize(out, self._view_dropped)
         return out
 
     def _view_dropped(self) -> None:
-        self._live_views -= 1
-        if self._close_deferred and self._live_views == 0:
-            self._close_deferred = False
+        with self._view_lock:
+            self._live_views -= 1
+            do_close = self._close_deferred and self._live_views == 0
+            if do_close:
+                self._close_deferred = False
+        if do_close:
             self.close()
 
     def read(self, i: int) -> np.ndarray:
@@ -196,11 +205,15 @@ class NativeArkReader:
 
     def close(self) -> None:
         if getattr(self, "_h", None):
-            if getattr(self, "_live_views", 0) > 0:
-                # views still alive: defer the munmap to the last view's
-                # finalizer (idempotent — callers may close() again)
-                self._close_deferred = True
-                return
+            lock = getattr(self, "_view_lock", None)
+            if lock is not None:
+                with lock:
+                    if self._live_views > 0:
+                        # views still alive: defer the munmap to the
+                        # last view's finalizer (idempotent — callers
+                        # may close() again)
+                        self._close_deferred = True
+                        return
             self._buf = b""
             self._lib.mdd_ark_close(self._h)
             self._h = None

@@ -15,18 +15,19 @@ server or supervisor):
              "canonical_row": ..., "ops_row": ..., "decoded_row": ...,
              "insertion_faults": [...], "substitution_faults": [...],
              "deletion_faults": [...], "ipa": ..., "translation": ...,
-             "phonics": ..., "seconds": <amortized>,
-             "batch_seconds": <group wall>, "batch": <group size>}
+             "phonics": ..., "seconds": <group wall>,
+             "amortized_seconds": <seconds / batch>, "batch": <size>}
   errors:   {"status": "error", "id": ..., "error": "..."}
 
 One response line per request line, in order; EOF shuts down.  The
-first request pays the jit compile; later requests of similar length
-reuse the cached executable (lengths are bucketed by the fbank frame
-count like every other jit surface).  Responses are deterministic per
-request: diagnose_words buckets co-batched items by padded length, so
-a wav's diagnosis never depends on what arrived with it.  "seconds" is
-the request's amortized share of its group's wall clock;
-"batch_seconds" is the full group wall clock a client actually waited.
+first request pays the jit compile (or none, with `serve --warmup`);
+later requests of similar length reuse the cached executable (lengths
+are bucketed by the fbank frame count like every other jit surface).
+Responses are deterministic per request: diagnose_words buckets
+co-batched items by padded length, so a wav's diagnosis never depends
+on what arrived with it.  "seconds" keeps its original meaning — the
+wall clock the request actually waited (its whole group's processing
+time); "amortized_seconds" is its share of the shared work.
 """
 
 from __future__ import annotations
@@ -39,8 +40,7 @@ from typing import IO
 from mdd_tpu.infer import InferenceEngine
 
 
-def _diag_response(diag, rid, seconds: float, batch_seconds: float,
-                   batch: int) -> dict:
+def _diag_response(diag, rid, seconds: float, batch: int) -> dict:
     d = dataclasses.asdict(diag)
     return {
         "status": "ok",
@@ -58,12 +58,13 @@ def _diag_response(diag, rid, seconds: float, batch_seconds: float,
         "ipa": diag.ipa_display,
         "translation": diag.translation,
         "phonics": diag.phonics,
-        # seconds: this request's amortized share of the group's wall
-        # clock (group time / group size); batch_seconds: the whole
-        # dynamically-batched group's wall clock (what a client actually
-        # waited); batch: how many requests shared the work
+        # seconds: the wall clock this request actually waited (its
+        # whole dynamically-batched group's processing time — the
+        # latency a client observes, and the field's meaning since the
+        # first release); amortized_seconds: this request's share of
+        # the shared work (seconds / batch); batch: group size
         "seconds": round(seconds, 4),
-        "batch_seconds": round(batch_seconds, 4),
+        "amortized_seconds": round(seconds / max(batch, 1), 4),
         "batch": batch,
     }
 
@@ -113,16 +114,15 @@ def handle_requests(engine: InferenceEngine, lines: list) -> list:
             diags = engine.diagnose_words(items)
             seconds = time.time() - t0
             for (i, rid), diag in zip(slots, diags):
-                resps[i] = _diag_response(diag, rid, seconds / len(items),
-                                          seconds, len(items))
+                resps[i] = _diag_response(diag, rid, seconds, len(items))
         except Exception:  # noqa: BLE001 — one bad item must not fail the
             # group: retry each request singly so only the offender errors
             for (i, rid), item in zip(slots, items):
                 t1 = time.time()
                 try:
                     diag = engine.diagnose_words([item])[0]
-                    dt = time.time() - t1
-                    resps[i] = _diag_response(diag, rid, dt, dt, 1)
+                    resps[i] = _diag_response(diag, rid, time.time() - t1,
+                                              1)
                 except Exception as e:  # noqa: BLE001
                     resps[i] = {"status": "error", "id": rid,
                                 "error": f"{type(e).__name__}: {e}"}

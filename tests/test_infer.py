@@ -228,8 +228,12 @@ def test_diagnose_words_stable_under_cobatching(engine, reference_dir):
 
 
 def test_warmup_precompiles_shapes(engine):
-    """warmup() drives silent wavs through every (batch, length-bucket)
-    serving shape with a canonical override (no dictionary lookups) so
-    a server can pay all jit compiles at startup (serve --warmup)."""
+    """warmup() drives silent wavs through every (batch, label-width,
+    length-bucket) serving shape with canonical overrides (no
+    dictionary lookups) so a server can pay all jit compiles at startup
+    (serve --warmup).  The batch ladder it covers is exactly the one
+    diagnose_words pads groups to (BATCH_SIZES)."""
     n = engine.warmup(max_seconds=1.28, batch_sizes=(1, 2))
-    assert n == 4        # 2 batch sizes x 2 length buckets
+    assert n == 8        # 2 batch sizes x 2 label widths x 2 buckets
+    # groups pad to the BATCH_SIZES ladder warmup covers by default
+    assert engine.BATCH_SIZES == (1, 4, 16)
