@@ -438,6 +438,10 @@ class Phonetic:
             return p3
         if p1:
             return p1
+        warnings.warn(
+            f"word '{word}' not in any dictionary backend; using the "
+            "rule-based fallback G2P (coarse canonicals — expect lower "
+            "diagnosis quality for this word)")
         return " ".join(fallback_g2p(word))
 
     def api_word_phonetic(self, word: str) -> str:
