@@ -256,7 +256,8 @@ def cmd_train(args) -> int:
                               print_every=cfg.verbose_step,
                               checkpoint_dir=cfg.checkpoint_dir,
                               exp_name=cfg.exp_name,
-                              resume=args.resume)
+                              resume=args.resume,
+                              checkpoint_every=cfg.checkpoint_every)
     finally:
         if args.profile_dir:
             jax.profiler.stop_trace()

@@ -521,6 +521,25 @@ class Trainer:
     def _host_state(self):
         return jax.device_get(self.state)
 
+    def _device_snapshot(self):
+        """Deep-copy the current state into fresh DEVICE buffers.
+
+        Plateau best-state snapshots used to round-trip through the
+        host; on a remote-attached chip fetching ~200 MB of
+        params+optimizer state costs ~20 s — paid on every
+        improvement epoch.  A device-side copy is ~free and never
+        crosses the link.  A real copy is required (not device_put):
+        the live state's buffers are donated into the next step, so
+        aliasing them would invalidate the snapshot."""
+        return jax.tree.map(jnp.copy, self.state)
+
+    def _restore_snapshot(self, snap):
+        """Install a device snapshot as the live state (by copy — the
+        live state gets donated, which must not consume the snapshot:
+        the plateau machine can restore the same best state several
+        times, train_ctc.py:258-265)."""
+        self.state = jax.tree.map(jnp.copy, snap)
+
     def _set_lr(self, lr: float) -> None:
         self.state = self.state.replace(
             opt_state=self.state.opt_state._replace(
@@ -537,7 +556,14 @@ class Trainer:
         exp_name: str = "default",
         log=print,
         resume: bool = False,
+        checkpoint_every: int = 5,
     ) -> Dict[str, Any]:
+        """checkpoint_every: save the resumable 'latest' checkpoint every
+        N epochs (plus always on the final epoch).  Saving fetches the
+        whole state over the host link (~20 s at recipe scale on a
+        remote-attached chip vs a ~2 s epoch), so per-epoch saves
+        dominated wall clock; a crash now loses at most N-1 epochs of
+        ~seconds-each work."""
         sched = self.scheduler
         epoch = 0
         if resume and checkpoint_dir:
@@ -574,24 +600,24 @@ class Trainer:
 
             action = sched.step(dev_loss, acc)
             if action & PlateauAction.SNAPSHOT_LOSS:
-                self._snapshot = self._host_state()
+                self._snapshot = self._device_snapshot()
             if action & PlateauAction.SNAPSHOT_ACC:
-                self._best_acc_state = self._host_state()
+                self._best_acc_state = self._device_snapshot()
             if action & PlateauAction.DECAY_AND_RESTORE and self._snapshot is not None:
-                self.state = jax.device_put(self._snapshot,
-                                            replicated(self.mesh))
+                self._restore_snapshot(self._snapshot)
             log("adjust_rate_count:%d adjust_time:%d"
                 % (sched.adjust_rate_count, sched.adjust_time))
             log("epoch %d done, cv acc is: %.4f, time_used: %.4f minutes"
                 % (epoch, acc, (time.time() - start) / 60))
-            if checkpoint_dir:
+            done = sched.stopped or epoch >= num_epochs
+            if checkpoint_dir and (epoch % max(checkpoint_every, 1) == 0
+                                   or done):
                 self.save(checkpoint_dir, exp_name, "latest", epoch)
 
         log("End training, best dev loss is: %.4f, acc is: %.4f"
             % (sched.loss_best, sched.acc_best))
         if self._best_acc_state is not None:
-            self.state = jax.device_put(self._best_acc_state,
-                                        replicated(self.mesh))
+            self._restore_snapshot(self._best_acc_state)
         if checkpoint_dir:
             self.save(checkpoint_dir, exp_name, "best", epoch)
         return {"loss_results": self.loss_results,

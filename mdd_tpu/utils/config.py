@@ -85,6 +85,10 @@ class Config:
     verbose_step: int = 50
     max_adjust_times: int = 8
     plateau_patience: int = 10
+    # save the resumable 'latest' checkpoint every N epochs (always on
+    # the final epoch); the save fetches the full state over the host
+    # link, which dwarfs a cached epoch on remote-attached chips
+    checkpoint_every: int = 5
     augment_mode: int = 2
     mutation_prob: float = 0.1
     num_buckets: int = 8
