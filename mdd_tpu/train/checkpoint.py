@@ -28,20 +28,35 @@ def save_checkpoint(
     meta: Dict[str, Any],
     opt_state=None,
 ) -> str:
-    """Save a checkpoint bundle under directory/name."""
+    """Save a checkpoint bundle under directory/name.
+
+    Crash-safe: the bundle is written to a temporary sibling directory
+    and swapped in afterwards, so an interrupted save never destroys
+    the previous checkpoint (the old scheme rmtree'd the existing
+    checkpoint before writing the new one)."""
+    import shutil
+
     path = os.path.abspath(os.path.join(directory, name))
+    tmp = f"{path}.tmp-{os.getpid()}"
+    old = f"{path}.old-{os.getpid()}"
+    for p in (tmp, old):
+        if os.path.exists(p):
+            shutil.rmtree(p)
     ckptr = ocp.StandardCheckpointer()
     state = {"params": _to_host(params), "batch_stats": _to_host(batch_stats)}
     if opt_state is not None:
         state["opt_state"] = _to_host(opt_state)
-    if os.path.exists(path):
-        import shutil
-
-        shutil.rmtree(path)
-    ckptr.save(path, state)
+    ckptr.save(tmp, state)
     ckptr.wait_until_finished()
-    with open(path + ".meta.json", "w", encoding="utf-8") as f:
+    with open(tmp + ".meta.json", "w", encoding="utf-8") as f:
         json.dump(meta, f, indent=2, default=str)
+    # swap: retire the old bundle only after the new one is complete
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    os.replace(tmp + ".meta.json", path + ".meta.json")
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return path
 
 

@@ -143,6 +143,7 @@ class Trainer:
         self.dev_loss_results: list = []
         self.dev_acc_results: list = []
         self._jit_cache: Dict[bool, Any] = {}
+        self._save_thread = None   # in-flight async 'latest' save
 
     # ------------------------------------------------------------------
     # jit steps
@@ -612,10 +613,14 @@ class Trainer:
             done = sched.stopped or epoch >= num_epochs
             if checkpoint_dir and (epoch % max(checkpoint_every, 1) == 0
                                    or done):
-                self.save(checkpoint_dir, exp_name, "latest", epoch)
+                # async: the ~20 s state fetch + write overlaps the next
+                # epochs' compute (the snapshot is an on-chip copy, so
+                # donation of the live state cannot race the fetch)
+                self.save_async(checkpoint_dir, exp_name, "latest", epoch)
 
         log("End training, best dev loss is: %.4f, acc is: %.4f"
             % (sched.loss_best, sched.acc_best))
+        self.join_saves()           # the final 'latest' must be durable
         if self._best_acc_state is not None:
             self._restore_snapshot(self._best_acc_state)
         if checkpoint_dir:
@@ -627,23 +632,57 @@ class Trainer:
                 "best_acc": sched.acc_best,
                 "epochs": epoch}
 
-    def save(self, directory: str, exp_name: str, tag: str, epoch: int) -> str:
-        host = self._host_state()
-        meta = {
+    def _save_meta(self, epoch: int) -> Dict[str, Any]:
+        return {
             "model_config": dataclasses.asdict(self.model_cfg),
             "epoch": epoch,
-            "loss_results": self.loss_results,
-            "dev_loss_results": self.dev_loss_results,
-            "dev_acc_results": self.dev_acc_results,
+            "loss_results": list(self.loss_results),
+            "dev_loss_results": list(self.dev_loss_results),
+            "dev_acc_results": list(self.dev_acc_results),
             "learning_rate": self.scheduler.learning_rate,
             "scheduler": dataclasses.asdict(self.scheduler),
         }
+
+    def save(self, directory: str, exp_name: str, tag: str, epoch: int) -> str:
         import os
 
+        self.join_saves()
+        host = self._host_state()
         return save_checkpoint(os.path.join(directory, exp_name), tag,
-                               host.params, host.batch_stats, meta,
+                               host.params, host.batch_stats,
+                               self._save_meta(epoch),
                                opt_state=host.opt_state if tag == "latest"
                                else None)
+
+    def save_async(self, directory: str, exp_name: str, tag: str,
+                   epoch: int) -> None:
+        """Save off the critical path: take a device-side snapshot (a
+        ~free on-chip copy — the live state's buffers get donated, a
+        background fetch of them would race) and let a worker thread do
+        the ~20 s host fetch + write while training continues.  At most
+        one save is in flight; meta is captured synchronously."""
+        import os
+        import threading
+
+        self.join_saves()           # never pile up fetches
+        snap = self._device_snapshot()
+        meta = self._save_meta(epoch)
+        path = os.path.join(directory, exp_name)
+
+        def work():
+            host = jax.device_get(snap)
+            save_checkpoint(path, tag, host.params, host.batch_stats,
+                            meta, opt_state=host.opt_state
+                            if tag == "latest" else None)
+
+        self._save_thread = threading.Thread(target=work, daemon=True)
+        self._save_thread.start()
+
+    def join_saves(self) -> None:
+        """Block until any in-flight async save has committed."""
+        if self._save_thread is not None:
+            self._save_thread.join()
+            self._save_thread = None
 
     def restore(self, directory: str, exp_name: str,
                 tag: str = "latest") -> int:

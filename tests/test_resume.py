@@ -135,3 +135,61 @@ def test_threaded_loader_delegates_set_epoch():
     inner = Inner()
     ThreadedLoader(inner).set_epoch(7)
     assert inner._epoch == 7
+
+
+def test_async_save_matches_sync(tmp_path):
+    """save_async (device snapshot -> background fetch+write) must
+    produce a checkpoint identical to a synchronous save of the same
+    state, and stale tmp dirs from a crashed save must not break the
+    next one."""
+    import jax
+
+    from mdd_tpu.train.checkpoint import load_checkpoint
+
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(3)
+    batch = _batch(rng, cfg)
+    t = Trainer(cfg, n_devices=1, sample_t=16, sample_l=3)
+    t.run_epoch([batch], 1, True, log=lambda *_: None)
+
+    t.save(str(tmp_path), "exp", "latest", epoch=1)
+    sync_state, sync_meta = load_checkpoint(str(tmp_path / "exp"), "latest")
+
+    # simulate a crashed earlier save: stale tmp dir must be cleaned up
+    import os
+    stale = tmp_path / "exp" / f"latest.tmp-{os.getpid()}"
+    stale.mkdir(parents=True)
+    (stale / "junk").write_text("x")
+
+    t.save_async(str(tmp_path), "exp", "latest", epoch=1)
+    t.join_saves()
+    async_state, async_meta = load_checkpoint(str(tmp_path / "exp"),
+                                              "latest")
+    assert async_meta["epoch"] == sync_meta["epoch"] == 1
+    for a, b in zip(jax.tree.leaves(sync_state), jax.tree.leaves(async_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not stale.exists()
+
+
+def test_interrupted_save_preserves_previous_checkpoint(tmp_path):
+    """The save swap is crash-safe: even if a new save dies before the
+    swap, the previous 'latest' stays loadable (the old scheme rmtree'd
+    it first).  Simulated by checking the committed bundle survives a
+    failing save attempt."""
+    from mdd_tpu.train import checkpoint as ck
+
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(4)
+    batch = _batch(rng, cfg)
+    t = Trainer(cfg, n_devices=1, sample_t=16, sample_l=3)
+    t.save(str(tmp_path), "exp", "latest", epoch=7)
+
+    # a save that explodes during serialization must leave the old
+    # bundle untouched
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        ck.save_checkpoint(str(tmp_path / "exp"), "latest",
+                           params=object(),     # unserializable
+                           batch_stats={}, meta={})
+    state, meta = ck.load_checkpoint(str(tmp_path / "exp"), "latest")
+    assert meta["epoch"] == 7 and "params" in state
