@@ -301,22 +301,137 @@ def bench_epoch(cfg, extra: dict) -> None:
         extra["epoch_s"] = round(elapsed / n_epochs, 3)
 
 
+def bench_frontend(extra: dict) -> None:
+    """Feature front-end throughput: the matmul-DFT fbank/MFCC kernels
+    (replacing the reference's compute-fbank-feats C++ binaries,
+    steps/make_feat.sh:25-39) plus the end-to-end `feat` split path.
+
+    Two kinds of numbers:
+      * frontend_{fbank,mfcc}_audio_s_per_s — the jit-compiled batched
+        kernel on device-resident waveforms, steady state: the
+        speed-of-light-facing number the roofline note in VALIDATION.md
+        ("Front-end roofline") analyzes.
+      * feat_split_audio_s_per_s — extract_split end to end (wav file
+        reads, device fbank, float64 CMVN accumulation, apply-cmvn, ark
+        write) at reference test-set scale: the honest pipeline number.
+    """
+    import tempfile
+    import wave
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from mdd_tpu.frontend.fbank import FbankConfig, compute_fbank_batch
+    from mdd_tpu.frontend.mfcc import MfccConfig, compute_mfcc_batch
+
+    b, seconds = 128, 3.0
+    s = int(16000 * seconds)
+    rng = np.random.default_rng(0)
+    wav = (3000.0 * rng.standard_normal((b, s))).astype(np.float32)
+    lengths = np.full((b,), s, np.int32)
+    dev_w = jax.device_put(jnp.asarray(wav))
+    dev_l = jax.device_put(jnp.asarray(lengths))
+    rounds = 20
+    for name, cfg_f, fn in (("fbank", FbankConfig(), compute_fbank_batch),
+                            ("mfcc", MfccConfig(), compute_mfcc_batch)):
+        jfn = jax.jit(lambda w, l, fn=fn, c=cfg_f: fn(w, l, c))
+        feats, _ = jfn(dev_w, dev_l)
+        float(feats[0, 0, 0])                      # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            feats, _ = jfn(dev_w, dev_l)
+        float(feats[0, 0, 0])                      # fetch serializes queue
+        elapsed = time.perf_counter() - t0
+        extra[f"frontend_{name}_audio_s_per_s"] = round(
+            rounds * b * seconds / elapsed, 1)
+
+    # end-to-end `feat` path at reference test-set scale (900 utts ~3 s)
+    n_utts, utt_seconds = 900, 3.0
+    with tempfile.TemporaryDirectory() as d:
+        out = Path(d)
+        (out / "wav").mkdir()
+        scp_lines = []
+        pcm_t = int(16000 * utt_seconds)
+        for i in range(n_utts):
+            path = out / "wav" / f"u{i:04d}.wav"
+            pcm = (3000.0 * rng.standard_normal(pcm_t)).astype(np.int16)
+            with wave.open(str(path), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+            scp_lines.append(f"u{i:04d} {path}")
+        (out / "wav.scp").write_text("\n".join(scp_lines) + "\n")
+
+        from mdd_tpu.frontend.pipeline import extract_split
+
+        extract_split(str(out / "wav.scp"), str(out / "feat0"),
+                      batch_size=128)              # warm the jit shapes
+        t0 = time.perf_counter()
+        extract_split(str(out / "wav.scp"), str(out / "feat1"),
+                      batch_size=128)
+        elapsed = time.perf_counter() - t0
+        extra["feat_split_audio_s_per_s"] = round(
+            n_utts * utt_seconds / elapsed, 1)
+        extra["feat_split_s_per_900_utts"] = round(elapsed, 2)
+
+
+def _trained_eval_variables(cfg, vocab):
+    """(variables, model_cfg, tag): the committed syn_full best checkpoint
+    when present and vocab-compatible (so the beam's blank-skip operates
+    on realistic trained posteriors — BeamSearch.py:93-94 parity), else
+    random init (the conservative no-skip case)."""
+    import dataclasses as dc
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from mdd_tpu.models.ctc_model import CTCAttentionModel
+
+    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "checkpoints", "syn_full")
+    if os.path.exists(os.path.join(ckpt_dir, "best")):
+        try:
+            from mdd_tpu.cli import _model_config_from_meta
+            from mdd_tpu.train.checkpoint import load_checkpoint
+
+            state, meta = load_checkpoint(ckpt_dir, "best")
+            model_cfg = _model_config_from_meta(meta)
+            if model_cfg.num_class == vocab.n_words:
+                model_cfg = dc.replace(
+                    model_cfg,
+                    use_pallas_lstm=jax.default_backend() == "tpu")
+                return ({"params": state["params"],
+                         "batch_stats": state["batch_stats"]},
+                        model_cfg, "syn_full/best")
+        except Exception:  # noqa: BLE001 — fall through to random init
+            pass
+    model = CTCAttentionModel(cfg)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, 64, cfg.input_dim)), jnp.zeros((1, 16), jnp.int32),
+        jnp.asarray([16]), train=False)
+    return ({"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}, cfg, "random_init")
+
+
 def bench_eval(cfg, extra: dict) -> None:
     """End-to-end `evaluate` at reference scale: loader + DP forward +
     jit beam (K=10, committed LM) + 3-way alignment + MDD accounting for
     900 utterances (the reference decodes the same 900-utt test set in
     3.25 min, result/train.log:3703-3705, scoring extra).  One warm pass
     compiles every bucket shape; the timed pass is the steady-state
-    number."""
+    number.  Runs on the trained syn_full checkpoint when available so
+    the beam's blank-dominated frame skip fires as in production
+    (`eval_checkpoint` in extra records which)."""
     import tempfile
     from pathlib import Path
-
-    import jax
 
     from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
     from mdd_tpu.data.vocab import Vocab
     from mdd_tpu.evals.evaluate import EvalSession, evaluate_model
-    from mdd_tpu.models.ctc_model import CTCAttentionModel
 
     from tools.synthetic_corpus import make_split
 
@@ -330,16 +445,10 @@ def bench_eval(cfg, extra: dict) -> None:
         make_split(out, "test", 900, seed=2, min_phones=16, max_phones=40,
                    phones=phones)
         vocab = Vocab(phones)
-        model = CTCAttentionModel(cfg)
-        import jax.numpy as jnp
-
-        variables = model.init(
-            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-            jnp.zeros((1, 64, cfg.input_dim)), jnp.zeros((1, 16), jnp.int32),
-            jnp.asarray([16]), train=False)
+        variables, model_cfg, tag = _trained_eval_variables(cfg, vocab)
+        extra["eval_checkpoint"] = tag
         session = EvalSession(
-            cfg, {"params": variables["params"],
-                  "batch_stats": variables["batch_stats"]},
+            model_cfg, variables,
             vocab, decode_type="beam", beam_width=BEAM_WIDTH,
             lm_path=lm_path if os.path.exists(lm_path) else None,
             lm_alpha=0.5, device_frontend=True)
@@ -383,6 +492,7 @@ def main() -> None:
     extra: dict = {"model_num_class": cfg.num_class}
     value = bench_train(cfg, extra)
     bench_decode(cfg, extra)
+    bench_frontend(extra)
     bench_eval(cfg, extra)
     bench_epoch(cfg, extra)
     print(json.dumps({

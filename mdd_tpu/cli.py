@@ -372,7 +372,7 @@ def cmd_serve(args) -> int:
     answer line-delimited JSON requests on stdin until EOF (serve.py —
     the production counterpart of the reference demo, whose own RTF
     report shows per-invocation init dominating wall clock)."""
-    from mdd_tpu.serve import serve_loop
+    from mdd_tpu.serve import SocketServer, serve_loop
 
     engine = _build_engine(args)
     if args.warmup:
@@ -380,10 +380,23 @@ def cmd_serve(args) -> int:
         # jit compile (moves the ~minutes of tunnel compiles to startup)
         n_shapes = engine.warmup(max_seconds=args.warmup)
         print(f"warmed {n_shapes} shapes", file=sys.stderr, flush=True)
-    print("ready", file=sys.stderr, flush=True)
-    n = serve_loop(engine, sys.stdin, sys.stdout,
-                   log=(None if args.quiet else
-                        (lambda m: print(m, file=sys.stderr, flush=True))))
+    log = (None if args.quiet else
+           (lambda m: print(m, file=sys.stderr, flush=True)))
+    if args.socket:
+        server = SocketServer(engine, args.socket,
+                              max_batch=args.max_batch, log=log)
+        addr = (f"port {server.port}" if server.port is not None
+                else args.socket)
+        print(f"ready on {addr}", file=sys.stderr, flush=True)
+        try:
+            n = server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+            n = server.n_served
+    else:
+        print("ready", file=sys.stderr, flush=True)
+        n = serve_loop(engine, sys.stdin, sys.stdout, log=log,
+                       max_batch=args.max_batch)
     print(f"served {n} requests", file=sys.stderr)
     return 0
 
@@ -524,6 +537,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="precompile the serving shape set for wavs up "
                         "to SECONDS (default 3.2) before accepting "
                         "requests — no client pays a jit compile")
+    q.add_argument("--socket", metavar="ADDR",
+                   help="listen on 'host:port' (TCP) or a unix-socket "
+                        "path instead of stdin/stdout; concurrent "
+                        "clients share cross-client dynamic batching")
+    q.add_argument("--max-batch", type=int, default=16,
+                   help="dynamic-batching group size cap (default 16)")
     q.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("mdd-result",

@@ -5,8 +5,9 @@ re-initializes everything per invocation — its own RTF report shows
 model + dictionary init dominating wall clock (infer.py:588-597).  For
 production serving the engine should load once and answer many requests;
 this module provides that as a line-delimited JSON protocol over any
-stream pair (stdin/stdout from the CLI — trivially wrapped by a socket
-server or supervisor):
+stream pair (stdin/stdout from the CLI) or over a TCP / unix socket with
+concurrent clients and cross-client dynamic batching (`SocketServer`,
+CLI `serve --socket host:port`):
 
   request:  {"wav": "/path/to.wav", "word": "about"}
             optional: "id" (echoed), "canonical" (phone list overriding
@@ -187,3 +188,116 @@ def serve_loop(engine: InferenceEngine, in_stream: IO[str],
                     f"batch {len(group)})")
         out_stream.flush()
     return n
+
+
+class SocketServer:
+    """TCP / unix-socket transport around the serve protocol.
+
+    Same line-delimited JSON request/response contract as `serve_loop`,
+    over a listening socket with any number of concurrent clients.
+    Requests from ALL connections feed one queue; the single batcher
+    thread groups whatever is pending (up to `max_batch`) into one
+    batched forward/decode and routes each response back to its
+    connection — cross-client dynamic batching, so N concurrent clients
+    cost ~one client's latency instead of N serialized engine calls.
+    Per-connection response order equals request order (the queue is
+    FIFO and one batcher writes group by group); responses stay
+    per-request deterministic because diagnose_words buckets co-batched
+    items by padded length (see module docstring).
+
+    `address` is "host:port" for TCP or a filesystem path for a unix
+    socket.  `serve_forever()` blocks until `shutdown()`; `.port` holds
+    the bound TCP port (for "host:0" ephemeral binds, as the tests use).
+    """
+
+    def __init__(self, engine: InferenceEngine, address: str,
+                 max_batch: int = 16, log=None):
+        import queue
+        import socket
+
+        self.engine = engine
+        self.max_batch = max_batch
+        self.log = log
+        self.q: "queue.Queue" = queue.Queue()
+        self._shutdown = False
+        self.n_served = 0
+        if ":" in address and not address.startswith("/"):
+            host, port = address.rsplit(":", 1)
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self.sock.bind((host or "127.0.0.1", int(port)))
+            self.port = self.sock.getsockname()[1]
+        else:
+            import os
+
+            if os.path.exists(address):
+                os.unlink(address)
+            self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self.sock.bind(address)
+            self.port = None
+        self.sock.listen(64)
+        self.sock.settimeout(0.2)   # so the accept loop sees shutdown
+
+    def _reader(self, conn) -> None:
+        """Per-connection reader: complete lines -> the shared queue."""
+        try:
+            with conn.makefile("r", encoding="utf-8", errors="replace") as f:
+                for line in f:
+                    if line.strip():
+                        self.q.put((conn, line.strip()))
+        except (OSError, ValueError):
+            pass  # client went away mid-line; its queued requests still run
+
+    def _accept_loop(self) -> None:
+        import socket
+
+        while not self._shutdown:
+            try:
+                conn, _ = self.sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            import threading
+
+            threading.Thread(target=self._reader, args=(conn,),
+                             daemon=True).start()
+
+    def serve_forever(self) -> int:
+        """Accept + batch until shutdown(); returns requests served."""
+        import queue
+        import threading
+
+        accept = threading.Thread(target=self._accept_loop, daemon=True)
+        accept.start()
+        while True:
+            try:
+                item = self.q.get(timeout=0.2)
+            except queue.Empty:
+                if self._shutdown:
+                    break
+                continue
+            group = [item]
+            while len(group) < self.max_batch:
+                try:
+                    group.append(self.q.get_nowait())
+                except queue.Empty:
+                    break
+            conns, lines = zip(*group)
+            resps = handle_requests(self.engine, list(lines))
+            for conn, resp in zip(conns, resps):
+                data = (json.dumps(resp, ensure_ascii=False) + "\n").encode()
+                try:
+                    conn.sendall(data)
+                except OSError:
+                    pass  # that client disconnected; keep serving others
+                self.n_served += 1
+                if self.log is not None:
+                    self.log(f"[serve] #{self.n_served} "
+                             f"{resp.get('word', '?')} -> {resp['status']} "
+                             f"(batch {len(group)})")
+        self.sock.close()
+        return self.n_served
+
+    def shutdown(self) -> None:
+        self._shutdown = True

@@ -268,6 +268,98 @@ def test_serve_loop(workdir, tiny_conf, reference_dir):
     assert resps[3]["status"] == "error"
 
 
+def test_serve_socket_concurrent_clients(workdir, tiny_conf, reference_dir):
+    """SocketServer: >=2 concurrent TCP clients share cross-client
+    dynamic batching; per-connection response order equals request
+    order, and co-batched responses are bit-equal to a solo request
+    (diagnose_words' length-bucketed determinism carries over the
+    socket transport)."""
+    import argparse
+    import json
+    import socket
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mdd_tpu.cli import _build_engine
+    from mdd_tpu.serve import SocketServer, handle_requests
+
+    args = argparse.Namespace(
+        conf=str(tiny_conf), checkpoint=None,
+        cmvn=str(workdir / "global_fbank_cmvn.txt"),
+        dict_dir=None, ecdict_csv=None, denoise=False,
+        forgiving=None, phonetic_format="cmu")
+    engine = _build_engine(args)
+    demo = reference_dir / "egs" / "vocabulary" / "single"
+
+    server = SocketServer(engine, "127.0.0.1:0", max_batch=8)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def client(tag, wav, word, n):
+        with socket.create_connection(("127.0.0.1", server.port),
+                                      timeout=120) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            for i in range(n):
+                f.write(json.dumps({"id": f"{tag}{i}", "wav": wav,
+                                    "word": word}) + "\n")
+            f.flush()
+            return [json.loads(f.readline()) for _ in range(n)]
+
+    with ThreadPoolExecutor(2) as pool:
+        fa = pool.submit(client, "a", str(demo / "3.wav"), "about", 3)
+        fb = pool.submit(client, "b", str(demo / "2.wav"), "gather", 3)
+        ra, rb = fa.result(timeout=300), fb.result(timeout=300)
+    server.shutdown()
+    t.join(timeout=10)
+    assert [r["id"] for r in ra] == ["a0", "a1", "a2"]
+    assert [r["id"] for r in rb] == ["b0", "b1", "b2"]
+    assert all(r["status"] == "ok" for r in ra + rb)
+    # co-batched over the socket == solo direct call, field for field
+    solo = handle_requests(engine, [json.dumps(
+        {"id": "a0", "wav": str(demo / "3.wav"), "word": "about"})])[0]
+    for key in ("score", "canonical_row", "ops_row", "decoded_row"):
+        assert ra[0][key] == solo[key], key
+
+
+def test_serve_socket_unix_and_bad_json(workdir, tiny_conf, reference_dir,
+                                        tmp_path):
+    """Unix-socket transport + malformed JSON gets an error response
+    without killing the connection."""
+    import argparse
+    import json
+    import socket
+    import threading
+
+    from mdd_tpu.cli import _build_engine
+    from mdd_tpu.serve import SocketServer
+
+    args = argparse.Namespace(
+        conf=str(tiny_conf), checkpoint=None,
+        cmvn=str(workdir / "global_fbank_cmvn.txt"),
+        dict_dir=None, ecdict_csv=None, denoise=False,
+        forgiving=None, phonetic_format="cmu")
+    engine = _build_engine(args)
+    demo = reference_dir / "egs" / "vocabulary" / "single"
+    path = str(tmp_path / "mdd.sock")
+
+    server = SocketServer(engine, path, max_batch=4)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.connect(path)
+        f = s.makefile("rw", encoding="utf-8")
+        f.write("this is not json\n")
+        f.write(json.dumps({"id": "ok1", "wav": str(demo / "3.wav"),
+                            "word": "about"}) + "\n")
+        f.flush()
+        r1 = json.loads(f.readline())
+        r2 = json.loads(f.readline())
+    server.shutdown()
+    t.join(timeout=10)
+    assert r1["status"] == "error" and "bad json" in r1["error"]
+    assert r2["status"] == "ok" and r2["id"] == "ok1"
+
+
 def test_serve_batched_requests(workdir, tiny_conf, reference_dir):
     """handle_requests processes a queued group in one batched
     forward/decode, mixed with per-request errors, responses in order."""

@@ -97,6 +97,89 @@ def test_eval_session_end_to_end(tmp_path):
     assert len((tmp_path / "human_seq.log").read_text().splitlines()) == 2
 
 
+def test_ladder_size_bounds():
+    """Tail pad targets: next pow2 >= max(n, n_dev), capped at batch."""
+    from mdd_tpu.evals.evaluate import _ladder_size
+
+    assert _ladder_size(1, 512, 1) == 1
+    assert _ladder_size(1, 512, 8) == 8
+    assert _ladder_size(5, 512, 8) == 8
+    assert _ladder_size(9, 512, 8) == 16
+    assert _ladder_size(300, 512, 8) == 512
+    assert _ladder_size(3, 4, 1) == 4
+
+
+def _tiny_eval_setup(tmp_path, n_utts: int, seed: int = 7):
+    import jax
+
+    from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
+    from mdd_tpu.data.vocab import Vocab
+    from mdd_tpu.frontend import kaldi_io
+    from mdd_tpu.models.ctc_model import CTCAttentionModel, ModelConfig
+
+    rng = np.random.default_rng(seed)
+    phones = ["sil", "aa", "b", "k", "iy", "t"]
+    with kaldi_io.ArkScpWriter(str(tmp_path / "f.ark"),
+                               str(tmp_path / "f.scp")) as w, \
+            open(tmp_path / "lab", "w") as lab:
+        for i in range(n_utts):
+            t = int(rng.integers(40, 120))
+            w.write(f"TXHC_u{i}" if i % 3 == 0 else f"u{i}",
+                    rng.standard_normal((t, 81)).astype(np.float32))
+            lab.write((f"TXHC_u{i}" if i % 3 == 0 else f"u{i}") + " "
+                      + " ".join(rng.choice(phones[1:], 5)) + "\n")
+    vocab = Vocab(phones)
+    cfg = ModelConfig(input_dim=243, num_class=vocab.n_words,
+                      rnn_hidden_size=16, rnn_layers=1, text_embed_size=8)
+    model = CTCAttentionModel(cfg)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, 16, 243), np.float32),
+                           np.zeros((1, 4), np.int32),
+                           np.asarray([4], np.int32))
+
+    def make_loader(batch_size):
+        ds = SpeechDataset(vocab, str(tmp_path / "f.scp"),
+                           str(tmp_path / "lab"), str(tmp_path / "lab"))
+        return BucketedLoader(ds, batch_size=batch_size, shuffle=False,
+                              time_quantum=16)
+
+    return cfg, variables, vocab, make_loader
+
+
+def test_evaluate_overlap_matches_serial(tmp_path):
+    """Threaded scoring (alignment/MDD overlapped with decode) must be
+    bit-identical to the serial score_mdd pass — the tallies are
+    order-independent integer sums (VERDICT r4 item 2)."""
+    cfg, variables, vocab, make_loader = _tiny_eval_setup(tmp_path, 11)
+    session = EvalSession(cfg, variables, vocab, decode_type="greedy")
+    reps = {}
+    for overlap in (False, True):
+        reps[overlap] = evaluate_model(session, make_loader(4),
+                                       log=lambda *_: None,
+                                       overlap_scoring=overlap)
+    a, b = reps[False], reps[True]
+    assert (a.errors, a.tokens, a.n_utts,
+            a.accent_errors, a.accent_tokens) == \
+           (b.errors, b.tokens, b.n_utts, b.accent_errors, b.accent_tokens)
+    assert a.counts == b.counts
+    assert a.accent_counts == b.accent_counts
+
+
+def test_evaluate_ragged_tail_ladder_bit_exact(tmp_path):
+    """Metrics must not depend on how ragged tails are padded: a loader
+    whose tail rides the pow-2 ladder (batch 16 over 11 utts) must
+    reproduce a loader with exact batches (VERDICT r4 item 5)."""
+    cfg, variables, vocab, make_loader = _tiny_eval_setup(tmp_path, 11)
+    session = EvalSession(cfg, variables, vocab, decode_type="greedy")
+    rep_ladder = evaluate_model(session, make_loader(16),
+                                log=lambda *_: None)
+    rep_exact = evaluate_model(session, make_loader(1),
+                               log=lambda *_: None)
+    assert (rep_ladder.errors, rep_ladder.tokens, rep_ladder.n_utts) == \
+           (rep_exact.errors, rep_exact.tokens, rep_exact.n_utts)
+    assert rep_ladder.counts == rep_exact.counts
+
+
 def test_eval_session_beam_matches_greedy_on_peaky_probs():
     """With near-one-hot probabilities beam and greedy must agree."""
     import jax

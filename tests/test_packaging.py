@@ -1,0 +1,54 @@
+"""Packaging metadata checks: the framework must be pip-installable with
+a console entry point (VERDICT r4 item 4 — the recipe-style reference
+never needed this, a from-scratch framework does)."""
+
+import pathlib
+import subprocess
+import sys
+import tomllib
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _pyproject():
+    with open(REPO / "pyproject.toml", "rb") as f:
+        return tomllib.load(f)
+
+
+def test_pyproject_metadata():
+    meta = _pyproject()
+    proj = meta["project"]
+    assert proj["name"] == "mdd-tpu"
+    assert proj["version"]
+    assert proj["scripts"]["mdd-tpu"] == "mdd_tpu.cli:main"
+    deps = " ".join(proj["dependencies"])
+    for dep in ("jax", "flax", "optax", "orbax", "numpy", "scipy", "PyYAML"):
+        assert dep in deps, f"missing dependency pin: {dep}"
+
+
+def test_installed_version_matches_pyproject():
+    import importlib.metadata as md
+
+    try:
+        installed = md.version("mdd-tpu")
+    except md.PackageNotFoundError:
+        pytest.skip("mdd-tpu not pip-installed in this environment")
+    assert installed == _pyproject()["project"]["version"]
+
+
+def test_module_entrypoint_from_foreign_cwd(tmp_path):
+    """`python -m mdd_tpu --help` must work from any working directory
+    (the installed copy, not repo-root sys.path tricks)."""
+    env = {"PATH": "/usr/bin:/bin", "HOME": str(tmp_path)}
+    # keep the interpreter's own environment (venv, axon site) intact
+    import os
+
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-m", "mdd_tpu", "--help"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=120)
+    assert out.returncode == 0
+    assert "train" in out.stdout and "evaluate" in out.stdout
