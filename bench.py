@@ -456,13 +456,20 @@ def bench_eval(cfg, extra: dict) -> None:
         def run():
             # device-frontend wire (raw bf16, splice/skip in the jit
             # forward): whole-corpus eval is otherwise bound by the
-            # spliced-float32 host->device transfer on this link
+            # spliced-float32 host->device transfer on this link;
+            # ThreadedLoader prefetch overlaps host ark reads + batch
+            # assembly with the device forward/decode (which itself
+            # overlaps the worker-thread MDD scoring)
+            from mdd_tpu.data.prefetch import ThreadedLoader
+
             ds = SpeechDataset(vocab, str(out / "test.scp"),
                                str(out / "test_phn_text"),
                                str(out / "test_transcript_phn_text"),
                                device_frontend=True)
-            loader = BucketedLoader(ds, batch_size=512, shuffle=False,
-                                    wire_dtype="bfloat16")
+            loader = ThreadedLoader(
+                BucketedLoader(ds, batch_size=512, shuffle=False,
+                               num_workers=8, wire_dtype="bfloat16"),
+                prefetch=4)
             return evaluate_model(session, loader, log=lambda *_: None)
 
         run()                      # compile every bucket shape

@@ -304,6 +304,10 @@ def cmd_evaluate(args) -> int:
         print(f"distributed: process {jax.process_index()}/"
               f"{jax.process_count()}")
     cfg = load_config(args.conf)
+    if getattr(args, "decode_type", None):
+        cfg.decode_type = args.decode_type
+    if getattr(args, "lm_alpha", None) is not None:
+        cfg.lm_alpha = args.lm_alpha
     # device-frontend eval: raw bf16 features on the wire, splice/skip
     # inside the jit forward — same fast path as training; the dominant
     # whole-corpus eval cost on a remote-attached chip is otherwise the
@@ -485,6 +489,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--conf", required=True)
     q.add_argument("--checkpoint")
     q.add_argument("--dump-dir")
+    q.add_argument("--decode-type", dest="decode_type",
+                   help="override the config's decode_type (e.g. Greedy "
+                        "vs Beam for ablation runs)")
+    q.add_argument("--lm-alpha", dest="lm_alpha", type=float,
+                   help="override the config's LM fusion weight "
+                        "(0 disables the LM term in the beam)")
     q.add_argument("--distributed", action="store_true",
                    help="multi-host run: each host decodes its own test "
                         "shard; tallies are summed via all_reduce_report "

@@ -108,6 +108,13 @@ def test_cli_train_evaluate_infer(workdir, tiny_conf, reference_dir,
     assert f1 and all(np.isfinite(v) for v in f1)
     assert (tmp_path / "decode_seq.log").exists()
 
+    # --decode-type / --lm-alpha ablation overrides run through the same
+    # config plumbing (greedy here; beam is the tiny_conf default)
+    assert main(["evaluate", "--conf", str(tiny_conf),
+                 "--decode-type", "Greedy", "--lm-alpha", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "Phoneme error rate" in out
+
     import shutil
 
     demo = reference_dir / "egs" / "vocabulary" / "single"
