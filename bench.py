@@ -466,18 +466,28 @@ def bench_eval(cfg, extra: dict) -> None:
                                str(out / "test_phn_text"),
                                str(out / "test_transcript_phn_text"),
                                device_frontend=True)
+            # batch 128 + time_quantum 64: finer pipeline granularity for
+            # the transfer/decode overlap and ~25% fewer padded wire
+            # bytes than one 512-wide bucket (more jit shapes, all
+            # compiled in the warm pass)
             loader = ThreadedLoader(
-                BucketedLoader(ds, batch_size=512, shuffle=False,
-                               num_workers=8, wire_dtype="bfloat16"),
+                BucketedLoader(ds, batch_size=128, shuffle=False,
+                               num_workers=8, time_quantum=64,
+                               wire_dtype="bfloat16"),
                 prefetch=4)
             return evaluate_model(session, loader, log=lambda *_: None)
 
         run()                      # compile every bucket shape
-        t0 = time.perf_counter()
-        rep = run()
-        elapsed = time.perf_counter() - t0
+        times = []
+        for _ in range(3):         # tunnel dispatch latency varies run to
+            t0 = time.perf_counter()   # run; report mean with min/max
+            rep = run()
+            times.append(time.perf_counter() - t0)
+        elapsed = float(np.mean(times))
         assert rep.n_utts == 900
         extra["eval_utts_per_s"] = round(rep.n_utts / elapsed, 1)
+        extra["eval_utts_per_s_min"] = round(rep.n_utts / max(times), 1)
+        extra["eval_utts_per_s_max"] = round(rep.n_utts / min(times), 1)
         extra["eval_min_per_900_utts"] = round(elapsed / 60, 4)
         extra["eval_vs_reference_decode"] = round(
             REFERENCE_DECODE_MIN_900 / (elapsed / 60), 1)

@@ -233,6 +233,11 @@ class EvalSession:
         repl = replicated(self.mesh)
         data = batch_sharding(self.mesh)
         tbc = NamedSharding(self.mesh, P(None, "data"))  # (T', B, C) axis 1
+        # kept for stage_batch: transferring inputs with the forward's
+        # exact in_sharding lets a staging thread move batch N+1 over the
+        # host link while batch N decodes (the jit call then reuses the
+        # committed arrays without re-transfer)
+        self._data_sharding = data
         self.variables = jax.device_put(variables, repl)
         self.vocab = vocab
         self._fwd = jax.jit(
@@ -278,16 +283,36 @@ class EvalSession:
         frames = (fracs * out_len).astype(jnp.int32)
         return log_probs, frames
 
-    def decode_batch(self, batch: Batch) -> Tuple[List[List[str]], np.ndarray]:
-        """-> (decoded phone lists, output frame counts)."""
+    def stage_batch(self, batch: Batch):
+        """Pad to the mesh and move the batch to device.
+
+        Split out of decode_batch so a staging thread can overlap the
+        host->device transfer of batch N+1 with the decode of batch N —
+        on a remote-attached chip the transfer (~bf16 features of 512
+        utterances) and the beam scan are comparable costs, so the
+        overlap nearly halves warm whole-corpus eval time.
+        Returns (batch, n_real, device_arrays) for decode_staged.
+        """
+        import jax
+
         n_real = batch.size
         n_dev = self.mesh.devices.size
         if n_real % n_dev:
             batch, _ = pad_batch_to(batch, -(-n_real // n_dev) * n_dev)
-        log_probs, frames = self._fwd(
-            self.variables,
-            jnp.asarray(batch.inputs), jnp.asarray(batch.input_fracs),
-            jnp.asarray(batch.trans), jnp.asarray(batch.trans_sizes))
+        arrays = jax.device_put(
+            (np.asarray(batch.inputs), np.asarray(batch.input_fracs),
+             np.asarray(batch.trans), np.asarray(batch.trans_sizes)),
+            self._data_sharding)
+        return batch, n_real, arrays
+
+    def decode_batch(self, batch: Batch) -> Tuple[List[List[str]], np.ndarray]:
+        """-> (decoded phone lists, output frame counts)."""
+        return self.decode_staged(self.stage_batch(batch))
+
+    def decode_staged(self, staged) -> Tuple[List[List[str]], np.ndarray]:
+        """Decode a batch already staged on device by stage_batch."""
+        batch, n_real, arrays = staged
+        log_probs, frames = self._fwd(self.variables, *arrays)
         frames = np.asarray(frames)
         if self.greedy:
             ids = np.asarray(jnp.argmax(log_probs, axis=-1)).T  # (B, T)
@@ -392,7 +417,8 @@ def evaluate_model(
     start = time.time()
     batch_size = getattr(loader, "batch_size", None)
     n_dev = session.mesh.devices.size
-    for batch in loader:
+
+    def padded(batch):
         valid = np.ones(batch.size, bool)
         if batch_size and batch.size < batch_size:
             # pad the ragged tail up the pow-2 ladder (not to the full
@@ -403,7 +429,44 @@ def evaluate_model(
             # exclude multi-host wrap-around duplicates: decoded (equal
             # batch counts across hosts) but scored on exactly one host
             valid &= batch.score_mask
-        decoded, _ = session.decode_batch(batch)
+        return batch, valid
+
+    def staged_iter():
+        """Stage batch N+1's host->device transfer while batch N
+        decodes (plain generator when overlap is off)."""
+        if not overlap_scoring:
+            for batch in loader:
+                batch, valid = padded(batch)
+                yield batch, session.stage_batch(batch), valid
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        _END = object()
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                for batch in loader:
+                    batch, valid = padded(batch)
+                    q.put((batch, session.stage_batch(batch), valid))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                err.append(e)
+            finally:
+                q.put(_END)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        if err:
+            raise err[0]
+
+    for batch, staged, valid in staged_iter():
+        decoded, _ = session.decode_staged(staged)
         chunk = []
         for i, utt in enumerate(batch.utt_ids):
             if not valid[i]:
