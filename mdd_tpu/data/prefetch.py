@@ -57,25 +57,42 @@ class ThreadedLoader:
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         err: List[BaseException] = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone —
+            an abandoned iterator (consumer raised / was GC'd) must not
+            leave the producer blocked forever holding batch references."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce() -> None:
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    if not _put(batch):
+                        return
             except BaseException as e:  # noqa: BLE001 — propagate to consumer
                 err.append(e)
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()   # normal exit, consumer exception, or GeneratorExit
 
 
 def shard_for_host(

@@ -376,12 +376,14 @@ class _AsyncScorer:
             chunk = self.q.get()
             if chunk is None:
                 return
+            if self.err is not None:
+                continue   # keep draining so a blocked submit() can't
+                # deadlock the eval loop; the error surfaces on join()
             try:
                 rep = score_mdd(chunk, self.accent_prefixes)
                 self.vec += report_to_vector(rep)
             except BaseException as e:  # noqa: BLE001 — surfaced on join
                 self.err = e
-                return
 
     def submit(self, chunk: List) -> None:
         if self.err is None:
@@ -433,37 +435,18 @@ def evaluate_model(
 
     def staged_iter():
         """Stage batch N+1's host->device transfer while batch N
-        decodes (plain generator when overlap is off)."""
+        decodes (plain generator when overlap is off).  The overlap is
+        a ThreadedLoader over the staging generator — same bounded
+        queue / error propagation / abandon-safety as every other
+        producer thread in the framework."""
+        staged = ((b, session.stage_batch(b), v)
+                  for b, v in (padded(batch) for batch in loader))
         if not overlap_scoring:
-            for batch in loader:
-                batch, valid = padded(batch)
-                yield batch, session.stage_batch(batch), valid
+            yield from staged
             return
-        import queue
-        import threading
+        from mdd_tpu.data.prefetch import ThreadedLoader
 
-        q: "queue.Queue" = queue.Queue(maxsize=2)
-        _END = object()
-        err: List[BaseException] = []
-
-        def producer():
-            try:
-                for batch in loader:
-                    batch, valid = padded(batch)
-                    q.put((batch, session.stage_batch(batch), valid))
-            except BaseException as e:  # noqa: BLE001 — re-raised below
-                err.append(e)
-            finally:
-                q.put(_END)
-
-        threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-        if err:
-            raise err[0]
+        yield from ThreadedLoader(staged, prefetch=2)
 
     for batch, staged, valid in staged_iter():
         decoded, _ = session.decode_staged(staged)

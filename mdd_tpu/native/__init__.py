@@ -17,7 +17,13 @@ from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+# repo-root native/ for checkouts and editable installs; a plain wheel
+# install has no sources next to site-packages — point MDD_TPU_NATIVE_DIR
+# at a native/ source dir to enable the C++ paths there (otherwise the
+# pure-Python fallbacks engage)
+_NATIVE_DIR = Path(os.environ.get(
+    "MDD_TPU_NATIVE_DIR",
+    Path(__file__).resolve().parents[2] / "native"))
 _LIB_PATH = _NATIVE_DIR / "build" / "libmdddenoise.so"
 _lib: Optional[ctypes.CDLL] = None
 

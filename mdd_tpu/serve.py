@@ -210,6 +210,15 @@ class SocketServer:
     the bound TCP port (for "host:0" ephemeral binds, as the tests use).
     """
 
+    #: per-connection send timeout: a client that stops reading its
+    #: responses must not block the batcher thread (and so every other
+    #: client) once its TCP buffer fills — on timeout its response is
+    #: dropped and the connection closed
+    SEND_TIMEOUT_S = 30.0
+    #: shared-queue bound: readers block when the engine falls behind,
+    #: giving per-connection backpressure instead of unbounded memory
+    QUEUE_MAX = 1024
+
     def __init__(self, engine: InferenceEngine, address: str,
                  max_batch: int = 16, log=None):
         import queue
@@ -218,23 +227,31 @@ class SocketServer:
         self.engine = engine
         self.max_batch = max_batch
         self.log = log
-        self.q: "queue.Queue" = queue.Queue()
+        self.q: "queue.Queue" = queue.Queue(maxsize=self.QUEUE_MAX)
         self._shutdown = False
         self.n_served = 0
-        if ":" in address and not address.startswith("/"):
+        # a path (contains a separator, or no colon at all) is a unix
+        # socket; otherwise host:port.  NOTE: for IPv6 use a hostname or
+        # a unix socket — bare bracketless IPv6 literals are ambiguous.
+        import os
+
+        if os.sep in address or ":" not in address:
+            if os.path.exists(address):
+                import stat
+
+                if not stat.S_ISSOCK(os.stat(address).st_mode):
+                    raise ValueError(
+                        f"refusing to replace non-socket file {address!r}")
+                os.unlink(address)
+            self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self.sock.bind(address)
+            self.port = None
+        else:
             host, port = address.rsplit(":", 1)
             self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
             self.sock.bind((host or "127.0.0.1", int(port)))
             self.port = self.sock.getsockname()[1]
-        else:
-            import os
-
-            if os.path.exists(address):
-                os.unlink(address)
-            self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            self.sock.bind(address)
-            self.port = None
         self.sock.listen(64)
         self.sock.settimeout(0.2)   # so the accept loop sees shutdown
 
@@ -251,6 +268,8 @@ class SocketServer:
     def _accept_loop(self) -> None:
         import socket
 
+        import struct
+
         while not self._shutdown:
             try:
                 conn, _ = self.sock.accept()
@@ -258,6 +277,13 @@ class SocketServer:
                 continue
             except OSError:
                 return
+            # send-only timeout (recv stays blocking so idle clients are
+            # fine): a peer that stops reading responses errors out of
+            # sendall after SEND_TIMEOUT_S instead of freezing the
+            # batcher thread for every other client
+            conn.setsockopt(
+                socket.SOL_SOCKET, socket.SO_SNDTIMEO,
+                struct.pack("ll", int(self.SEND_TIMEOUT_S), 0))
             import threading
 
             threading.Thread(target=self._reader, args=(conn,),
@@ -290,7 +316,13 @@ class SocketServer:
                 try:
                     conn.sendall(data)
                 except OSError:
-                    pass  # that client disconnected; keep serving others
+                    # disconnected, or stopped reading until the send
+                    # timeout fired: drop the response, close so its
+                    # reader exits too, keep serving everyone else
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
                 self.n_served += 1
                 if self.log is not None:
                     self.log(f"[serve] #{self.n_served} "

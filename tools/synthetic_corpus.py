@@ -191,6 +191,8 @@ if __name__ == "__main__":
     ap.add_argument("--units", default=None,
                     help="units file overriding the phone inventory")
     a = ap.parse_args()
-    sizes = (a.sizes + [400, 60, 60])[:3]
-    main(a.out_dir, *sizes, profile=a.profile,
+    # per-slot defaults: omitted dev/test sizes stay 60, not the train
+    # default (matching the original positional-call semantics)
+    sizes = list(a.sizes) + [400, 60, 60][len(a.sizes):]
+    main(a.out_dir, *sizes[:3], profile=a.profile,
          min_phones=a.min_phones, max_phones=a.max_phones, units=a.units)
