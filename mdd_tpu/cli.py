@@ -315,11 +315,23 @@ def cmd_evaluate(args) -> int:
     device_fe = bool(getattr(cfg, "device_frontend", False))
     session, vocab, _ = _load_eval_session(cfg, args.checkpoint,
                                            device_frontend=device_fe)
+    # device_cache: true + single-process -> transfer-free cached eval
+    # (the test set pins in HBM like the training corpus; repeated evals
+    # move only index vectors over the link).  Multi-host runs keep the
+    # per-host streaming loader (cached eval would decode into
+    # non-addressable devices).
+    import jax
+
+    use_cache = device_fe and bool(getattr(cfg, "device_cache", False)) \
+        and jax.process_count() == 1
     loader = _build_loader(cfg, vocab, cfg.test_scp_path,
                            cfg.test_lab_path, cfg.test_trans_path,
                            train=False, device_fe=device_fe,
-                           allow_cache=False)  # evaluate_model consumes
-    # feature batches (the cache's index batches feed Trainer steps only)
+                           mesh=session.mesh, allow_cache=use_cache)
+    from mdd_tpu.data.device_cache import CachedLoader
+
+    if isinstance(loader, CachedLoader):
+        session.attach_cache(loader.cache)
     evaluate_model(session, loader, dump_dir=args.dump_dir)
     return 0
 

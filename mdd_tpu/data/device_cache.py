@@ -76,6 +76,54 @@ class CachedBatch:
         return self.idx.shape[0]
 
 
+def make_cache_assemble(mesh, sharded: bool = True):
+    """-> assemble(cache, idx): gather global batch rows from a bucket
+    array inside jit.
+
+    With `sharded` (DeviceFeatureCache's default row-sharded layout),
+    assembly is a shard_map: each device takes the rows it owns for
+    every global batch slot (out-of-shard slots contribute exact zeros)
+    and one psum_scatter over ICI delivers slot k's row to the device
+    that computes batch row k — bit-identical to a replicated-cache
+    take since exactly one device contributes each slot.  `idx` must be
+    the FULL global batch's row ids, replicated (CachedBatch.global_idx).
+    With `sharded=False` the cache is replicated and assemble is a plain
+    take over the (host-sharded) idx.
+
+    Shared by the Trainer's cached step (train/loop._make_cached_step)
+    and the cached evaluation forward (evals.evaluate.EvalSession).
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_total = int(mesh.devices.size)
+
+    if not sharded:
+        def assemble(cache, idx):
+            return jnp.take(cache, idx, axis=0)
+        return assemble
+
+    def assemble(cache, idx):
+        m = cache.shape[0] // n_total
+
+        def body(c_local, idx_full):
+            d = jax.lax.axis_index("data")
+            local = idx_full - d * m
+            ok = (local >= 0) & (local < m)
+            rows = jnp.take(c_local, jnp.clip(local, 0, m - 1), axis=0)
+            contrib = jnp.where(ok[:, None, None], rows,
+                                jnp.zeros((), c_local.dtype))
+            return jax.lax.psum_scatter(
+                contrib, "data", scatter_dimension=0, tiled=True)
+
+        return shard_map(body, mesh=mesh,
+                         in_specs=(P("data"), P()),
+                         out_specs=P("data"))(cache, idx)
+
+    return assemble
+
+
 class DeviceFeatureCache:
     """Load a SpeechDataset's features once and pin them in device memory.
 

@@ -238,6 +238,9 @@ class EvalSession:
         # host link while batch N decodes (the jit call then reuses the
         # committed arrays without re-transfer)
         self._data_sharding = data
+        self._repl = repl
+        self._tbc = tbc
+        self.cache = None          # set by attach_cache
         self.variables = jax.device_put(variables, repl)
         self.vocab = vocab
         self._fwd = jax.jit(
@@ -283,6 +286,62 @@ class EvalSession:
         frames = (fracs * out_len).astype(jnp.int32)
         return log_probs, frames
 
+    def attach_cache(self, cache) -> None:
+        """Enable transfer-free decoding over a DeviceFeatureCache.
+
+        Repeated evaluation of a fixed dev/test set (per-epoch dev
+        decoding, CI regression evals, benchmark steady state) should
+        not re-ship the corpus over the host link every pass: like the
+        Trainer's cached step, the features stay pinned in HBM
+        (row-sharded over the mesh) and each batch is assembled inside
+        the jit forward by the shared shard_map gather
+        (data.device_cache.make_cache_assemble) — the per-batch wire
+        traffic is an index vector plus label metadata.  Decodes are
+        bit-identical to the streaming path (pinned by
+        tests/test_evaluate.py::test_cached_eval_matches_streaming).
+        Single-process only (a multi-host cached eval would decode into
+        non-addressable devices; multi-host runs keep the per-host
+        streaming loader).
+        """
+        import jax
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mdd_tpu.data.device_cache import make_cache_assemble
+        from mdd_tpu.frontend.splice import batched_splice_skip
+        from mdd_tpu.train.loop import exact_output_sizes
+
+        assert self.device_frontend, (
+            "cached eval decodes raw cached features; construct the "
+            "EvalSession with device_frontend=True")
+        assert jax.process_count() == 1, (
+            "cached eval is single-process; multi-host runs use the "
+            "per-host streaming loader")
+        self.cache = cache
+        self._cache_sharded = bool(getattr(cache, "shard_rows", True))
+        assemble = make_cache_assemble(self.mesh, self._cache_sharded)
+        cache_sh = (NamedSharding(self.mesh, P("data"))
+                    if self._cache_sharded else self._repl)
+        idx_sh = self._repl if self._cache_sharded else self._data_sharding
+
+        def fwd(variables, cache_arr, idx, lengths, trans, trsizes):
+            inputs = assemble(cache_arr, idx)
+            inputs, model_frames = batched_splice_skip(
+                inputs, lengths, self.left_ctx, self.right_ctx,
+                self.n_skip_frame, self.n_downsample)
+            log_probs = self.model.apply(
+                variables, inputs, trans, trsizes, train=False)
+            frames = exact_output_sizes(model_frames, log_probs.shape[0],
+                                        inputs.shape[1])
+            return log_probs, frames
+
+        self._fwd_cached = jax.jit(
+            fwd,
+            in_shardings=(self._repl, cache_sh, idx_sh,
+                          self._data_sharding, self._data_sharding,
+                          self._data_sharding),
+            out_shardings=(self._tbc, self._data_sharding))
+
     def stage_batch(self, batch: Batch):
         """Pad to the mesh and move the batch to device.
 
@@ -295,6 +354,12 @@ class EvalSession:
         """
         import jax
 
+        from mdd_tpu.data.device_cache import CachedBatch
+
+        if isinstance(batch, CachedBatch):
+            # cached batches are wire-tiny (index vector + labels):
+            # nothing to pre-transfer, the jit call moves them itself
+            return batch, batch.size, None
         n_real = batch.size
         n_dev = self.mesh.devices.size
         if n_real % n_dev:
@@ -305,14 +370,25 @@ class EvalSession:
             self._data_sharding)
         return batch, n_real, arrays
 
-    def decode_batch(self, batch: Batch) -> Tuple[List[List[str]], np.ndarray]:
-        """-> (decoded phone lists, output frame counts)."""
+    def decode_batch(self, batch) -> Tuple[List[List[str]], np.ndarray]:
+        """-> (decoded phone lists, output frame counts).  Accepts a
+        feature Batch or (with attach_cache) a CachedBatch."""
         return self.decode_staged(self.stage_batch(batch))
 
     def decode_staged(self, staged) -> Tuple[List[List[str]], np.ndarray]:
         """Decode a batch already staged on device by stage_batch."""
         batch, n_real, arrays = staged
-        log_probs, frames = self._fwd(self.variables, *arrays)
+        if arrays is None:
+            assert self.cache is not None, (
+                "CachedBatch decoding requires attach_cache(cache)")
+            idx = (batch.global_idx if self._cache_sharded
+                   and batch.global_idx is not None else batch.idx)
+            log_probs, frames = self._fwd_cached(
+                self.variables, self.cache.buckets[batch.bucket],
+                jnp.asarray(idx), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.trans), jnp.asarray(batch.trans_sizes))
+        else:
+            log_probs, frames = self._fwd(self.variables, *arrays)
         frames = np.asarray(frames)
         if self.greedy:
             ids = np.asarray(jnp.argmax(log_probs, axis=-1)).T  # (B, T)
@@ -421,6 +497,15 @@ def evaluate_model(
     n_dev = session.mesh.devices.size
 
     def padded(batch):
+        from mdd_tpu.data.device_cache import CachedBatch
+
+        if isinstance(batch, CachedBatch):
+            # CachedLoader already pads to one fixed shape per bucket and
+            # carries its own validity mask
+            valid = batch.valid.copy()
+            if batch.score_mask is not None:
+                valid &= batch.score_mask
+            return batch, valid
         valid = np.ones(batch.size, bool)
         if batch_size and batch.size < batch_size:
             # pad the ragged tail up the pow-2 ladder (not to the full

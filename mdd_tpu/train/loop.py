@@ -277,42 +277,21 @@ class Trainer:
         assert self.device_frontend, (
             "the device cache stores raw features; construct the Trainer "
             "with device_frontend=True")
-        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from mdd_tpu.data.device_cache import make_cache_assemble
         from mdd_tpu.frontend.augment import apply_spec_augment_masks
 
         data_sh = batch_sharding(self.mesh)
         repl = replicated(self.mesh)
-        n_total = int(self.mesh.devices.size)
 
         if sharded_cache:
             cache_sh = NamedSharding(self.mesh, P("data"))
             idx_sh = repl      # every device needs all slots' row ids
-
-            def assemble(cache, idx):
-                m = cache.shape[0] // n_total
-
-                def body(c_local, idx_full):
-                    d = jax.lax.axis_index("data")
-                    local = idx_full - d * m
-                    ok = (local >= 0) & (local < m)
-                    rows = jnp.take(c_local, jnp.clip(local, 0, m - 1),
-                                    axis=0)
-                    contrib = jnp.where(ok[:, None, None], rows,
-                                        jnp.zeros((), c_local.dtype))
-                    return jax.lax.psum_scatter(
-                        contrib, "data", scatter_dimension=0, tiled=True)
-
-                return shard_map(body, mesh=self.mesh,
-                                 in_specs=(P("data"), P()),
-                                 out_specs=P("data"))(cache, idx)
         else:
             cache_sh = repl
             idx_sh = data_sh
-
-            def assemble(cache, idx):
-                return jnp.take(cache, idx, axis=0)
+        assemble = make_cache_assemble(self.mesh, sharded_cache)
 
         def gather(cache, idx, lengths, aug, rest):
             inputs = assemble(cache, idx)

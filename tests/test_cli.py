@@ -219,12 +219,20 @@ def test_cli_train_device_cache(workdir, tiny_conf, capsys):
     assert main(["train", "--conf", str(conf),
                  "--profile-dir", str(prof)]) == 0
     assert (workdir / "ckpt" / "tiny_cache" / "best").exists()
+
     # --profile-dir captured a device trace
     assert any(prof.rglob("*.xplane.pb")) or any(prof.rglob("*.json.gz"))
     out = capsys.readouterr().out
     losses = [float(m) for m in re.findall(
         r"Train done, total_loss: ([\d.]+)", out)]
     assert len(losses) >= 2 and losses[-1] < losses[0], losses
+
+    # evaluate through the same config exercises the transfer-free
+    # cached-eval path (EvalSession.attach_cache via cmd_evaluate)
+    assert main(["evaluate", "--conf", str(conf),
+                 "--decode-type", "Greedy"]) == 0
+    out_eval = capsys.readouterr().out
+    assert "Phoneme error rate" in out_eval
 
 
 def test_config_device_cache_requires_frontend(tmp_path):

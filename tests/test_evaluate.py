@@ -180,6 +180,60 @@ def test_evaluate_ragged_tail_ladder_bit_exact(tmp_path):
     assert rep_ladder.counts == rep_exact.counts
 
 
+def test_cached_eval_matches_streaming(tmp_path):
+    """Transfer-free cached evaluation (test corpus pinned in HBM,
+    row-sharded over the 8-device mesh, batches assembled by the shared
+    shard_map gather inside the jit forward) must reproduce the
+    streaming device-frontend loader's metrics exactly."""
+    import jax
+
+    from mdd_tpu.data.dataset import BucketedLoader, SpeechDataset
+    from mdd_tpu.data.device_cache import CachedLoader, DeviceFeatureCache
+    from mdd_tpu.data.vocab import Vocab
+    from mdd_tpu.frontend import kaldi_io
+    from mdd_tpu.models.ctc_model import CTCAttentionModel, ModelConfig
+
+    rng = np.random.default_rng(11)
+    phones = ["sil", "aa", "b", "k", "iy", "t"]
+    with kaldi_io.ArkScpWriter(str(tmp_path / "f.ark"),
+                               str(tmp_path / "f.scp")) as w, \
+            open(tmp_path / "lab", "w") as lab:
+        for i in range(11):
+            t = int(rng.integers(40, 150))
+            w.write(f"u{i}", rng.standard_normal((t, 81)).astype(np.float32))
+            lab.write(f"u{i} " + " ".join(rng.choice(phones[1:], 5)) + "\n")
+    vocab = Vocab(phones)
+    cfg = ModelConfig(input_dim=243, num_class=vocab.n_words,
+                      rnn_hidden_size=16, rnn_layers=1, text_embed_size=8)
+    model = CTCAttentionModel(cfg)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, 16, 243), np.float32),
+                           np.zeros((1, 4), np.int32),
+                           np.asarray([4], np.int32))
+    session = EvalSession(cfg, variables, vocab, decode_type="greedy",
+                          device_frontend=True)
+
+    def make_ds():
+        return SpeechDataset(vocab, str(tmp_path / "f.scp"),
+                             str(tmp_path / "lab"), str(tmp_path / "lab"),
+                             device_frontend=True)
+
+    stream = BucketedLoader(make_ds(), batch_size=4, shuffle=False,
+                            time_quantum=16, wire_dtype="bfloat16")
+    rep_stream = evaluate_model(session, stream, log=lambda *_: None)
+
+    cache = DeviceFeatureCache(make_ds(), mesh=session.mesh,
+                               time_quantum=16, wire_dtype="bfloat16")
+    session.attach_cache(cache)
+    cloader = CachedLoader(cache, batch_size=4, shuffle=False)
+    rep_cached = evaluate_model(session, cloader, log=lambda *_: None)
+
+    a, b = rep_stream, rep_cached
+    assert (a.errors, a.tokens, a.n_utts) == (b.errors, b.tokens, b.n_utts)
+    assert a.counts == b.counts
+    assert a.accent_counts == b.accent_counts
+
+
 def test_eval_session_beam_matches_greedy_on_peaky_probs():
     """With near-one-hot probabilities beam and greedy must agree."""
     import jax
