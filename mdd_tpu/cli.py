@@ -90,9 +90,13 @@ def _build_loader(cfg, vocab, scp, lab, trans, train: bool,
         # the wire after the one-time upload
         from mdd_tpu.data.device_cache import CachedLoader, DeviceFeatureCache
 
+        # same wire-dtype default as the streaming branch below (unset ->
+        # float32): the cached and streaming paths must produce identical
+        # features for one config, or PER/F1 would silently differ
+        # between device_cache modes / process counts
         cache = DeviceFeatureCache(
             ds, mesh=mesh, time_quantum=cfg.time_quantum,
-            wire_dtype=cfg.wire_dtype or "bfloat16",
+            wire_dtype=cfg.wire_dtype or "float32",
             num_workers=max(cfg.num_workers, 1))
         return CachedLoader(cache, cfg.batch_size,
                             shuffle=train and cfg.shuffle_train,
@@ -315,15 +319,26 @@ def cmd_evaluate(args) -> int:
     device_fe = bool(getattr(cfg, "device_frontend", False))
     session, vocab, _ = _load_eval_session(cfg, args.checkpoint,
                                            device_frontend=device_fe)
-    # device_cache: true + single-process -> transfer-free cached eval
-    # (the test set pins in HBM like the training corpus; repeated evals
-    # move only index vectors over the link).  Multi-host runs keep the
-    # per-host streaming loader (cached eval would decode into
-    # non-addressable devices).
+    # `evaluate --cached`: transfer-free cached eval (the test set pins
+    # in HBM like the training corpus; every pass after the upload moves
+    # only index vectors over the link).  Opt-in, NOT inferred from the
+    # training config's device_cache flag: a one-shot CLI eval pays
+    # upload + decode serially (the streaming path overlaps them), so
+    # the cache only wins for repeated/in-process evals.  Single-process
+    # only (multi-host cached eval would decode into non-addressable
+    # devices — those runs keep the per-host streaming loader).
     import jax
 
-    use_cache = device_fe and bool(getattr(cfg, "device_cache", False)) \
-        and jax.process_count() == 1
+    use_cache = bool(getattr(args, "cached", False))
+    if use_cache and not device_fe:
+        raise SystemExit("evaluate --cached requires device_frontend: "
+                         "true in the config")
+    if use_cache and jax.process_count() > 1:
+        print("evaluate --cached is single-process; falling back to the "
+              "streaming loader", file=sys.stderr)
+        use_cache = False
+    if use_cache:
+        cfg.device_cache = True   # _build_loader's cache branch gate
     loader = _build_loader(cfg, vocab, cfg.test_scp_path,
                            cfg.test_lab_path, cfg.test_trans_path,
                            train=False, device_fe=device_fe,
@@ -507,6 +522,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--lm-alpha", dest="lm_alpha", type=float,
                    help="override the config's LM fusion weight "
                         "(0 disables the LM term in the beam)")
+    q.add_argument("--cached", action="store_true",
+                   help="pin the test set in HBM (row-sharded device "
+                        "cache) and decode transfer-free — wins for "
+                        "repeated evals; a one-shot eval is faster on "
+                        "the default streaming loader")
     q.add_argument("--distributed", action="store_true",
                    help="multi-host run: each host decodes its own test "
                         "shard; tallies are summed via all_reduce_report "

@@ -266,20 +266,30 @@ class EvalSession:
                     vocab.index2word, beam_width=beam_width, lm=lm,
                     lm_alpha=lm_alpha)
 
+    def _forward_from_raw(self, variables, inputs, raw_len, trans,
+                          trsizes):
+        """Device-frontend forward on RAW (B, T_raw, D) features: splice
+        + frame-skip on device, then the model.  Shared by the streaming
+        forward (which derives raw_len from wire fractions) and the
+        cached forward (which has true lengths) so the two paths cannot
+        diverge."""
+        from mdd_tpu.frontend.splice import batched_splice_skip
+        from mdd_tpu.train.loop import exact_output_sizes
+
+        inputs, model_frames = batched_splice_skip(
+            inputs, raw_len, self.left_ctx, self.right_ctx,
+            self.n_skip_frame, self.n_downsample)
+        log_probs = self.model.apply(
+            variables, inputs, trans, trsizes, train=False)
+        frames = exact_output_sizes(model_frames, log_probs.shape[0],
+                                    inputs.shape[1])
+        return log_probs, frames
+
     def _forward(self, variables, inputs, fracs, trans, trsizes):
         if self.device_frontend:
-            from mdd_tpu.frontend.splice import batched_splice_skip
-            from mdd_tpu.train.loop import exact_output_sizes
-
             raw_len = jnp.round(fracs * inputs.shape[1]).astype(jnp.int32)
-            inputs, model_frames = batched_splice_skip(
-                inputs, raw_len, self.left_ctx, self.right_ctx,
-                self.n_skip_frame, self.n_downsample)
-            log_probs = self.model.apply(
-                variables, inputs, trans, trsizes, train=False)
-            frames = exact_output_sizes(model_frames, log_probs.shape[0],
-                                        inputs.shape[1])
-            return log_probs, frames
+            return self._forward_from_raw(variables, inputs, raw_len,
+                                          trans, trsizes)
         log_probs = self.model.apply(
             variables, inputs, trans, trsizes, train=False)
         out_len = log_probs.shape[0]
@@ -303,13 +313,9 @@ class EvalSession:
         non-addressable devices; multi-host runs keep the per-host
         streaming loader).
         """
-        import jax
-
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from mdd_tpu.data.device_cache import make_cache_assemble
-        from mdd_tpu.frontend.splice import batched_splice_skip
-        from mdd_tpu.train.loop import exact_output_sizes
 
         assert self.device_frontend, (
             "cached eval decodes raw cached features; construct the "
@@ -326,14 +332,8 @@ class EvalSession:
 
         def fwd(variables, cache_arr, idx, lengths, trans, trsizes):
             inputs = assemble(cache_arr, idx)
-            inputs, model_frames = batched_splice_skip(
-                inputs, lengths, self.left_ctx, self.right_ctx,
-                self.n_skip_frame, self.n_downsample)
-            log_probs = self.model.apply(
-                variables, inputs, trans, trsizes, train=False)
-            frames = exact_output_sizes(model_frames, log_probs.shape[0],
-                                        inputs.shape[1])
-            return log_probs, frames
+            return self._forward_from_raw(variables, inputs, lengths,
+                                          trans, trsizes)
 
         self._fwd_cached = jax.jit(
             fwd,

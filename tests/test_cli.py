@@ -227,9 +227,10 @@ def test_cli_train_device_cache(workdir, tiny_conf, capsys):
         r"Train done, total_loss: ([\d.]+)", out)]
     assert len(losses) >= 2 and losses[-1] < losses[0], losses
 
-    # evaluate through the same config exercises the transfer-free
-    # cached-eval path (EvalSession.attach_cache via cmd_evaluate)
-    assert main(["evaluate", "--conf", str(conf),
+    # evaluate --cached exercises the transfer-free cached-eval path
+    # (EvalSession.attach_cache via cmd_evaluate; opt-in because a
+    # one-shot eval is faster streaming)
+    assert main(["evaluate", "--conf", str(conf), "--cached",
                  "--decode-type", "Greedy"]) == 0
     out_eval = capsys.readouterr().out
     assert "Phoneme error rate" in out_eval
